@@ -1,0 +1,126 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric (BASELINE.json:2, BASELINE.md protocol): training examples/s/chip on
+the flagship configs3 model at Taobao-ish scale (synthetic data, the sandbox
+has no network), steady-state jitted steps with block_until_ready, compile
+excluded; plus p50 scoring latency over repeated small-batch forwards.
+
+vs_baseline is measured against the pinned floor from the first recorded run
+(BASELINE.md 'quality acceptance rule': targets get pinned by first runs).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Pinned by the first measured TPU run (see BASELINE.md): 2026-08-17,
+# TPU v5e 1 chip, configs3 flagship, jnp (pre-Pallas) compute path.
+BASELINE_EXAMPLES_PER_S: float | None = 2_285_195.2
+
+# benchmark shape knobs (Taobao-ish scale per SURVEY.md §2.3 #2 at sandbox size)
+NUM_USERS = 50_000
+NUM_ITEMS = 100_000
+NUM_EVENTS = 2_000_000
+NUM_SLOTS = 9
+FANOUT = 10
+BATCH = 2048
+EMBED_DIM = 32
+TRAIN_STEPS = 20
+WARMUP_STEPS = 3
+LATENCY_ITERS = 200
+LATENCY_BATCH = 1
+EVAL_NEG = 100
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from score_tpu.config import configs3
+    from score_tpu.data import synth
+    from score_tpu.data.prep_common import build_dataset
+    from score_tpu.data.pipeline import TargetIterator
+    from score_tpu.graph import device_graph
+    from score_tpu.train import (build_model, init_state, make_eval_step,
+                                 make_train_step)
+
+    t0 = time.time()
+    user, item, ts = synth.synth_events(
+        NUM_USERS, NUM_ITEMS, NUM_EVENTS, num_slots=NUM_SLOTS, seed=0)
+    ds = build_dataset(user, item, ts, num_slots=NUM_SLOTS,
+                       user_fanout=FANOUT, item_fanout=FANOUT,
+                       num_eval_neg=EVAL_NEG, min_user=3, min_item=3, seed=0,
+                       dataset_name="bench-taobao")
+    prep_s = time.time() - t0
+
+    cfg = configs3()
+    cfg = cfg.replace(model=cfg.model.__class__(
+        embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
+        sides="dual", slot_agg="coattn", seq_pool="attn", target_aware=True))
+    graph = device_graph(ds.graph)
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfg, model, graph, rng)
+    train_step = make_train_step(model, cfg)
+    eval_step = make_eval_step(model)
+
+    it = TargetIterator(ds.train, BATCH, seed=0)
+
+    def dev_batch():
+        b = next(it)
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    # --- training throughput ---
+    for _ in range(WARMUP_STEPS):
+        state, m = train_step(state, graph, dev_batch(), rng)
+    jax.block_until_ready(m["loss"])
+    t1 = time.time()
+    for _ in range(TRAIN_STEPS):
+        state, m = train_step(state, graph, dev_batch(), rng)
+    jax.block_until_ready(m["loss"])
+    step_s = (time.time() - t1) / TRAIN_STEPS
+    examples_per_s = BATCH / step_s
+
+    # --- p50 scoring latency (small-batch forward, warm cache) ---
+    ev_batch = {
+        "user": jnp.asarray(ds.val.user[:LATENCY_BATCH]),
+        "item": jnp.asarray(ds.val.item[:LATENCY_BATCH]),
+        "slot": jnp.asarray(ds.val.slot[:LATENCY_BATCH]),
+        "neg": jnp.asarray(ds.val.neg[:LATENCY_BATCH]),
+    }
+    scores = eval_step(state.params, graph, ev_batch)
+    jax.block_until_ready(scores)
+    lat = []
+    for _ in range(LATENCY_ITERS):
+        t2 = time.time()
+        scores = eval_step(state.params, graph, ev_batch)
+        jax.block_until_ready(scores)
+        lat.append(time.time() - t2)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    n_chips = len(jax.devices())
+    value = examples_per_s / n_chips
+    vs = (value / BASELINE_EXAMPLES_PER_S
+          if BASELINE_EXAMPLES_PER_S else 1.0)
+    print(json.dumps({
+        "metric": "train_examples_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(vs, 3),
+        "extra": {
+            "p50_scoring_latency_ms": round(p50_ms, 2),
+            "step_ms": round(step_s * 1e3, 2),
+            "batch": BATCH,
+            "chips": n_chips,
+            "model": "configs3-coattn",
+            "backend": jax.default_backend(),
+            "prep_s": round(prep_s, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

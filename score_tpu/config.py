@@ -1,0 +1,203 @@
+"""Typed configuration tree + the BASELINE.json configs[0..4] milestone presets.
+
+The reference (qinjr/SCoRe, empty mount — SURVEY.md §0) has no structured config:
+hyperparameters live in argv + module constants (SURVEY.md §2.3 #16). Here every
+knob is a frozen dataclass field so a config hashes cleanly into jit static args.
+
+Preset ladder (BASELINE.json:7-11, SURVEY.md §2.4):
+    configs0  GRU sequential scorer, single shared table, user side only (CCMR/CPU)
+    configs1  dual-side sequence encoders + attention pooling (Taobao)
+    configs2  + neighbor one-hop aggregation, per-side attention (Tmall)
+    configs3  full SCoRe: cross-neighbor co-attention (all datasets)
+    configs4  multi-host: row-sharded tables + all-to-all lookup exchange
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Forward-pass semantics per SURVEY.md §2.4.
+
+    sides:     'user' = single-side (configs0); 'dual' = both towers.
+    slot_agg:  how the per-slot neighbor *set* becomes one vector:
+               'mean'   masked mean of neighbor embeddings        (configs0/1)
+               'attn'   per-side target-aware attention           (configs2)
+               'coattn' cross-neighbor co-attention, the SCoRe
+                        novelty (paper §3.3)                      (configs3+)
+    seq_pool:  'last' = last valid GRU state; 'attn' = attention pooling with
+               the opposite target embedding as query (paper §3.4).
+    """
+
+    embed_dim: int = 16
+    hidden_dim: int = 32
+    mlp_dims: tuple = (64, 32)
+    sides: str = "dual"            # 'user' | 'dual'
+    slot_agg: str = "coattn"       # 'mean' | 'attn' | 'coattn'
+    seq_pool: str = "attn"         # 'last' | 'attn'
+    shared_table: bool = False     # one table over users+items (configs0)
+    target_aware: bool = True      # add Eu_t·ei / Ei_t·eu pre-softmax terms
+    coattn_pool: str = "sum"       # 'sum' | 'max' pooling of the relation matrix
+    dropout: float = 0.0
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # bfloat16 for TPU perf configs
+
+    def __post_init__(self):
+        assert self.sides in ("user", "dual"), self.sides
+        assert self.slot_agg in ("mean", "attn", "coattn"), self.slot_agg
+        assert self.seq_pool in ("last", "attn"), self.seq_pool
+        assert self.coattn_pool in ("sum", "max"), self.coattn_pool
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Shapes of the packed dataset (SURVEY.md §2.4 step 1).
+
+    num_users/num_items are counts of *real* ids; id 0 is the padding id, so
+    table row counts are num_users+1 / num_items+1.
+    """
+
+    dataset: str = "synth"
+    num_users: int = 2000
+    num_items: int = 4000
+    num_slots: int = 10            # T: global number of time slots
+    user_fanout: int = 10          # n: items per user per slot (padded)
+    item_fanout: int = 10          # m: users per item per slot (padded)
+    num_train_neg: int = 1         # k sampled negatives per positive (train)
+    num_eval_neg: int = 100        # N eval negatives per positive (paper §4.2)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 256
+    learning_rate: float = 1e-3
+    l2_emb: float = 1e-5           # λ‖Emb‖² (paper §3.5)
+    num_epochs: int = 10
+    eval_every_steps: int = 200
+    early_stop_patience: int = 5   # evals without val-AUC improvement
+    eval_max_targets: int = 8192   # subsample for periodic val (full at test)
+    seed: int = 0
+    checkpoint_dir: Optional[str] = None
+    profile_dir: Optional[str] = None
+    log_every_steps: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Mesh layout (SURVEY.md §5 'Distributed communication backend').
+
+    data_axis spans the batch; rows_axis spans embedding-table rows.
+    lookup_mode:
+      'local'   tables replicated, plain gather (single-chip configs0-3)
+      'psum'    masked partial gather + psum over rows (simple, exact)
+      'a2a'     all-to-all request/response exchange (north-star path)
+    """
+
+    data_axis: str = "data"
+    rows_axis: str = "rows"
+    num_data: int = 1
+    num_rows: int = 1
+    lookup_mode: str = "local"     # 'local' | 'psum' | 'a2a'
+
+    def __post_init__(self):
+        assert self.lookup_mode in ("local", "psum", "a2a"), self.lookup_mode
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(model_kw, data_kw=None, train_kw=None, shard_kw=None) -> Config:
+    return Config(
+        model=ModelConfig(**model_kw),
+        data=DataConfig(**(data_kw or {})),
+        train=TrainConfig(**(train_kw or {})),
+        sharding=ShardingConfig(**(shard_kw or {})),
+    )
+
+
+def configs0() -> Config:
+    """BASELINE.json:7 — GRU sequential scorer, single shared table, CCMR/CPU."""
+    return _cfg(
+        dict(sides="user", slot_agg="mean", seq_pool="last", shared_table=True,
+             target_aware=False),
+        dict(dataset="ccmr"),
+    )
+
+
+def configs1() -> Config:
+    """BASELINE.json:8 — dual-side encoders + attention pooling, Taobao."""
+    return _cfg(
+        dict(sides="dual", slot_agg="mean", seq_pool="attn"),
+        dict(dataset="taobao"),
+    )
+
+
+def configs2() -> Config:
+    """BASELINE.json:9 — + neighbor one-hop aggregation (per-side attention)."""
+    return _cfg(
+        dict(sides="dual", slot_agg="attn", seq_pool="attn"),
+        dict(dataset="tmall"),
+    )
+
+
+def configs3() -> Config:
+    """BASELINE.json:10 — full SCoRe cross-neighbor co-attention."""
+    return _cfg(
+        dict(sides="dual", slot_agg="coattn", seq_pool="attn", target_aware=True),
+        dict(dataset="taobao"),
+    )
+
+
+def configs4(num_data: int = 2, num_rows: int = 4) -> Config:
+    """BASELINE.json:11 — multi-host: row-sharded tables + all-to-all lookups."""
+    c = configs3()
+    return c.replace(sharding=ShardingConfig(
+        num_data=num_data, num_rows=num_rows, lookup_mode="a2a"))
+
+
+PRESETS = {
+    "configs0": configs0,
+    "configs1": configs1,
+    "configs2": configs2,
+    "configs3": configs3,
+    "configs4": configs4,
+}
+
+
+def apply_overrides(cfg: Config, overrides: dict) -> Config:
+    """Apply 'section.key=value' CLI overrides, e.g. {'train.batch_size': '512'}."""
+    sections = {f.name: dataclasses.asdict(getattr(cfg, f.name))
+                for f in dataclasses.fields(cfg)}
+    for dotted, raw in overrides.items():
+        section, key = dotted.split(".", 1)
+        if section not in sections or key not in sections[section]:
+            raise KeyError(f"unknown config key: {dotted}")
+        old = sections[section][key]
+        if isinstance(old, bool):
+            val = raw in ("1", "true", "True")
+        elif isinstance(old, int):
+            val = int(raw)
+        elif isinstance(old, float):
+            val = float(raw)
+        elif isinstance(old, tuple):
+            val = tuple(int(x) for x in raw.split(",") if x)
+        else:
+            val = raw
+        sections[section][key] = val
+    return Config(
+        model=ModelConfig(**sections["model"]),
+        data=DataConfig(**sections["data"]),
+        train=TrainConfig(**sections["train"]),
+        sharding=ShardingConfig(**sections["sharding"]),
+    )

@@ -1,0 +1,94 @@
+"""Schema-identical synthetic raw logs (SURVEY.md §7.0: offline sandbox).
+
+The sandbox has no network, so the CCMR / Taobao-UserBehavior / Tmall raw files
+cannot be downloaded. This module generates raw logs with the same on-disk
+schema, driven by a latent-factor interaction model so that learned metrics are
+meaningfully above chance: user u interacts with item i with probability
+rising in <p_u, q_i> plus an item-popularity bias, and preferences drift
+slowly over time (so temporal slots carry signal for the sequence encoders).
+
+Raw schemas emitted (one CSV per dataset, matching the public files):
+    ccmr:    user_id,item_id,rating,timestamp
+    taobao:  user_id,item_id,category_id,behavior_type,timestamp
+    tmall:   user_id,item_id,cat_id,seller_id,brand_id,time_stamp,action_type
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def synth_events(num_users: int, num_items: int, num_events: int,
+                 num_slots: int = 10, latent_dim: int = 8,
+                 seed: int = 0):
+    """Latent-factor event generator -> (user, item, ts) int arrays.
+
+    ts spans [0, num_slots * 86400) so equal-width bucketing at `num_slots`
+    recovers the generative slots.
+    """
+    rng = np.random.default_rng(seed)
+    pu = rng.normal(size=(num_users, latent_dim)).astype(np.float32)
+    qi = rng.normal(size=(num_items, latent_dim)).astype(np.float32)
+    # Popularity: zipf-ish item bias.
+    pop = -np.log(np.arange(1, num_items + 1) / num_items).astype(np.float32)
+    pop = pop[rng.permutation(num_items)]
+    # Slow preference drift: per-slot rotation of user factors.
+    drift = rng.normal(scale=0.15, size=(num_slots, latent_dim)).astype(
+        np.float32).cumsum(axis=0)
+
+    users = rng.integers(0, num_users, size=num_events)
+    slots = rng.integers(0, num_slots, size=num_events)
+    items = np.empty(num_events, dtype=np.int64)
+    cand = 32  # score a candidate set per event, take softmax sample
+    for s in range(num_slots):
+        m = slots == s
+        k = int(m.sum())
+        if k == 0:
+            continue
+        cands = rng.integers(0, num_items, size=(k, cand))
+        pu_s = pu[users[m]] + drift[s][None, :]
+        logits = np.einsum("kd,kcd->kc", pu_s, qi[cands]) + pop[cands]
+        logits -= logits.max(axis=1, keepdims=True)
+        prob = np.exp(logits)
+        prob /= prob.sum(axis=1, keepdims=True)
+        pick = (prob.cumsum(axis=1) > rng.random((k, 1))).argmax(axis=1)
+        items[m] = cands[np.arange(k), pick]
+
+    ts = slots * 86400 + rng.integers(0, 86400, size=num_events)
+    order = np.argsort(ts, kind="stable")
+    return (users[order].astype(np.int64), items[order].astype(np.int64),
+            ts[order].astype(np.int64))
+
+
+def write_raw(dataset: str, path: str, num_users: int = 2000,
+              num_items: int = 4000, num_events: int = 200_000,
+              num_slots: int = 10, seed: int = 0) -> str:
+    """Write a schema-identical raw CSV for `dataset` and return its path."""
+    user, item, ts = synth_events(num_users, num_items, num_events,
+                                  num_slots=num_slots, seed=seed)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    rng = np.random.default_rng(seed + 1)
+    n = user.size
+    if dataset == "ccmr":
+        rating = rng.integers(1, 6, size=n)
+        cols = np.stack([user, item, rating, ts], axis=1)
+        header = "user_id,item_id,rating,timestamp"
+    elif dataset == "taobao":
+        cat = item % 97
+        behav = np.zeros(n, dtype=np.int64)  # 0 == 'pv' click
+        cols = np.stack([user, item, cat, behav, ts], axis=1)
+        header = "user_id,item_id,category_id,behavior_type,timestamp"
+    elif dataset == "tmall":
+        cat = item % 71
+        seller = item % 199
+        brand = item % 131
+        action = np.zeros(n, dtype=np.int64)
+        cols = np.stack([user, item, cat, seller, brand, ts, action], axis=1)
+        header = ("user_id,item_id,cat_id,seller_id,brand_id,"
+                  "time_stamp,action_type")
+    else:
+        raise ValueError(f"unknown dataset {dataset}")
+    np.savetxt(path, cols, fmt="%d", delimiter=",", header=header, comments="")
+    return path

@@ -1,0 +1,85 @@
+"""Device-resident graph store + on-device history gather.
+
+The reference samples neighbors in CPU multiprocessing workers and feeds
+padded arrays through feed_dict (SURVEY.md §3.2 hot loop (a)). Here the dense
+padded adjacency lives in HBM as jnp arrays and the per-batch history gather
+is a static-shape `take` *inside* the jitted step (BASELINE.json:5: move
+"gather-heavy neighbor sampling and sequence batching" on-device) — the host
+only ships (u, i, t*, y) tuples.
+
+Slot-leakage contract (SURVEY.md §2.4 step 1): the returned slot-validity
+mask is `t < t*`, so downstream masking guarantees a target never sees its
+own or future slots.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from .data.schema import GraphStore
+
+
+class DeviceGraph(NamedTuple):
+    """Dense padded per-slot adjacency as device arrays (a jax pytree)."""
+
+    u2i: jnp.ndarray      # int32 [T, U+1, n]
+    u2i_cnt: jnp.ndarray  # int32 [T, U+1]
+    i2u: jnp.ndarray      # int32 [T, I+1, m]
+    i2u_cnt: jnp.ndarray  # int32 [T, I+1]
+
+    @property
+    def num_slots(self) -> int:
+        return self.u2i.shape[0]
+
+
+def _pad_nodes(a, mult: int):
+    """Pad the node axis (axis 1) to a multiple; pad rows are all-zero and
+    never addressed by valid node ids (mesh-divisibility, like table rows)."""
+    import numpy as np
+    n = a.shape[1]
+    pad = (-n) % mult
+    if pad == 0:
+        return a
+    width = [(0, 0)] * a.ndim
+    width[1] = (0, pad)
+    return np.pad(a, width)
+
+
+def device_graph(g: GraphStore, node_multiple: int = 64) -> DeviceGraph:
+    return DeviceGraph(
+        u2i=jnp.asarray(_pad_nodes(g.u2i, node_multiple)),
+        u2i_cnt=jnp.asarray(_pad_nodes(g.u2i_cnt, node_multiple)),
+        i2u=jnp.asarray(_pad_nodes(g.i2u, node_multiple)),
+        i2u_cnt=jnp.asarray(_pad_nodes(g.i2u_cnt, node_multiple)))
+
+
+def gather_side(adj: jnp.ndarray, cnt: jnp.ndarray,
+                nodes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-history gather for one side.
+
+    adj: [T, N+1, n], cnt: [T, N+1], nodes: [B] ->
+      hist: [B, T, n] neighbor ids, hcnt: [B, T] true counts.
+    """
+    hist = jnp.take(adj, nodes, axis=1).transpose(1, 0, 2)
+    hcnt = jnp.take(cnt, nodes, axis=1).transpose(1, 0)
+    return hist, hcnt
+
+
+def slot_valid_mask(slots: jnp.ndarray, num_slots: int) -> jnp.ndarray:
+    """[B, T] bool: slot t is usable history for a target at t* iff t < t*."""
+    t = jnp.arange(num_slots, dtype=slots.dtype)[None, :]
+    return t < slots[:, None]
+
+
+def gather_batch(g: DeviceGraph, users: jnp.ndarray, items: jnp.ndarray,
+                 slots: jnp.ndarray) -> dict:
+    """Assemble the model's history inputs for a batch of targets."""
+    T = g.num_slots
+    u_hist, u_cnt = gather_side(g.u2i, g.u2i_cnt, users)
+    i_hist, i_cnt = gather_side(g.i2u, g.i2u_cnt, items)
+    sv = slot_valid_mask(slots, T)
+    return dict(user=users, item=items, slot=slots,
+                u_hist=u_hist, u_cnt=u_cnt, i_hist=i_hist, i_cnt=i_cnt,
+                slot_valid=sv)

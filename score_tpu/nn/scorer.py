@@ -1,0 +1,35 @@
+"""Interaction scorer + loss (SURVEY.md §2.3 #10-11; paper §3.5).
+
+Score: z = MLP([h_u; h_i; eu; ei; h_u * h_i; eu * ei]) -> logit.
+Loss: pointwise BCE over positives + sampled negatives, plus L2 on the
+embedding tables (applied in the train step, where the table params are
+visible).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import optax
+
+
+class Scorer(nn.Module):
+    """MLP interaction head over a list of feature vectors."""
+
+    mlp_dims: Sequence[int] = (64, 32)
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        x = jnp.concatenate(list(feats), axis=-1)
+        for i, w in enumerate(self.mlp_dims):
+            x = nn.Dense(w, name=f"mlp_{i}")(x)
+            x = nn.relu(x)
+        logit = nn.Dense(1, name="out")(x)
+        return jnp.squeeze(logit, axis=-1)
+
+
+def bce_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean sigmoid binary cross-entropy (the reference's pointwise loss)."""
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))

@@ -1,0 +1,161 @@
+"""Co-attention vs an independent numpy reference (SURVEY.md §4.2), incl.
+full-padding edge cases and zero-gradient-through-padding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from score_tpu.nn.coattn import cross_coattn_ref, masked_softmax, slot_mean
+
+
+def np_masked_softmax(scores, mask):
+    out = np.zeros_like(scores, dtype=np.float64)
+    it = np.ndindex(scores.shape[:-1])
+    for idx in it:
+        s = scores[idx].astype(np.float64)
+        m = mask[idx]
+        if not m.any():
+            continue
+        v = s[m]
+        e = np.exp(v - v.max())
+        p = e / e.sum()
+        row = np.zeros_like(s)
+        row[m] = p
+        out[idx] = row
+    return out
+
+
+def np_cross_coattn(Eu, Ei, mu, mi, Wr, eu, ei, pool="sum",
+                    target_aware=True):
+    """Straight-from-the-spec numpy implementation (SURVEY.md §2.4 step 3)."""
+    B, T, n, d = Eu.shape
+    m = Ei.shape[2]
+    scale = 1.0 / np.sqrt(d)
+    cu = np.zeros((B, T, d))
+    ci = np.zeros((B, T, d))
+    for b in range(B):
+        for t in range(T):
+            M = Eu[b, t] @ Wr @ Ei[b, t].T * scale     # [n, m]
+            pm = mu[b, t][:, None] & mi[b, t][None, :]
+            if pool == "sum":
+                Mm = np.where(pm, M, 0.0)
+                su = Mm.sum(axis=1)
+                si = Mm.sum(axis=0)
+            else:
+                Mm = np.where(pm, M, -1e9)
+                su = Mm.max(axis=1)
+                si = Mm.max(axis=0)
+                if not mi[b, t].any():
+                    su = np.zeros(n)
+                if not mu[b, t].any():
+                    si = np.zeros(m)
+            if target_aware:
+                su = su + Eu[b, t] @ ei[b] * scale
+                si = si + Ei[b, t] @ eu[b] * scale
+            a = np_masked_softmax(su[None], mu[b, t][None])[0]
+            bb = np_masked_softmax(si[None], mi[b, t][None])[0]
+            cu[b, t] = a @ Eu[b, t]
+            ci[b, t] = bb @ Ei[b, t]
+    return cu, ci
+
+
+def _rand_inputs(rng, B=3, T=4, n=5, m=6, d=8, pad_frac=0.4):
+    Eu = rng.normal(size=(B, T, n, d)).astype(np.float32)
+    Ei = rng.normal(size=(B, T, m, d)).astype(np.float32)
+    mu = rng.random((B, T, n)) > pad_frac
+    mi = rng.random((B, T, m)) > pad_frac
+    # force some fully-padded slots on each side
+    mu[0, 0] = False
+    mi[1, 2] = False
+    mu[2, 3] = False
+    mi[2, 3] = False
+    Wr = rng.normal(size=(d, d)).astype(np.float32)
+    eu = rng.normal(size=(B, d)).astype(np.float32)
+    ei = rng.normal(size=(B, d)).astype(np.float32)
+    return Eu, Ei, mu, mi, Wr, eu, ei
+
+
+@pytest.mark.parametrize("pool", ["sum", "max"])
+@pytest.mark.parametrize("target_aware", [True, False])
+def test_cross_coattn_vs_numpy(rng, pool, target_aware):
+    Eu, Ei, mu, mi, Wr, eu, ei = _rand_inputs(rng)
+    cu_np, ci_np = np_cross_coattn(Eu, Ei, mu, mi, Wr, eu, ei, pool=pool,
+                                   target_aware=target_aware)
+    cu, ci = cross_coattn_ref(
+        jnp.asarray(Eu), jnp.asarray(Ei), jnp.asarray(mu), jnp.asarray(mi),
+        jnp.asarray(Wr), jnp.asarray(eu), jnp.asarray(ei), pool=pool,
+        target_aware=target_aware)
+    np.testing.assert_allclose(np.asarray(cu), cu_np, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ci), ci_np, rtol=1e-4, atol=1e-5)
+
+
+def test_fully_padded_slots_are_zero(rng):
+    Eu, Ei, mu, mi, Wr, eu, ei = _rand_inputs(rng)
+    cu, ci = cross_coattn_ref(
+        jnp.asarray(Eu), jnp.asarray(Ei), jnp.asarray(mu), jnp.asarray(mi),
+        jnp.asarray(Wr), jnp.asarray(eu), jnp.asarray(ei))
+    assert np.all(np.asarray(cu)[0, 0] == 0.0)       # mu[0,0] all False
+    assert np.all(np.asarray(ci)[1, 2] == 0.0)       # mi[1,2] all False
+    assert np.all(np.asarray(cu)[2, 3] == 0.0)       # both sides empty
+    assert np.all(np.asarray(ci)[2, 3] == 0.0)
+    assert not np.any(np.isnan(np.asarray(cu)))
+    assert not np.any(np.isnan(np.asarray(ci)))
+
+
+def test_padded_neighbor_zero_gradient(rng):
+    """A padded neighbor's embedding must get exactly zero gradient
+    (SURVEY.md §4.2: 'padded neighbor must have exactly zero gradient')."""
+    Eu, Ei, mu, mi, Wr, eu, ei = _rand_inputs(rng)
+
+    def loss(Eu_, Ei_):
+        cu, ci = cross_coattn_ref(
+            Eu_, Ei_, jnp.asarray(mu), jnp.asarray(mi), jnp.asarray(Wr),
+            jnp.asarray(eu), jnp.asarray(ei))
+        return jnp.sum(cu ** 2) + jnp.sum(ci ** 2)
+
+    gu, gi = jax.grad(loss, argnums=(0, 1))(jnp.asarray(Eu), jnp.asarray(Ei))
+    gu, gi = np.asarray(gu), np.asarray(gi)
+    assert np.all(gu[~mu] == 0.0)
+    assert np.all(gi[~mi] == 0.0)
+    # and some valid entry does receive gradient
+    assert np.any(gu[mu] != 0.0)
+
+
+def test_padded_value_invariance(rng):
+    """Changing the *values* at padded positions must not change outputs."""
+    Eu, Ei, mu, mi, Wr, eu, ei = _rand_inputs(rng)
+    args = (jnp.asarray(mu), jnp.asarray(mi), jnp.asarray(Wr),
+            jnp.asarray(eu), jnp.asarray(ei))
+    cu1, ci1 = cross_coattn_ref(jnp.asarray(Eu), jnp.asarray(Ei), *args)
+    Eu2 = Eu.copy()
+    Ei2 = Ei.copy()
+    Eu2[~mu] = 777.0
+    Ei2[~mi] = -55.0
+    cu2, ci2 = cross_coattn_ref(jnp.asarray(Eu2), jnp.asarray(Ei2), *args)
+    np.testing.assert_allclose(np.asarray(cu1), np.asarray(cu2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ci1), np.asarray(ci2), atol=1e-5)
+
+
+def test_slot_mean_masked(rng):
+    E = rng.normal(size=(2, 3, 4, 5)).astype(np.float32)
+    m = rng.random((2, 3, 4)) > 0.5
+    m[0, 0] = False
+    out = np.asarray(slot_mean(jnp.asarray(E), jnp.asarray(m)))
+    for b in range(2):
+        for t in range(3):
+            if m[b, t].any():
+                np.testing.assert_allclose(out[b, t], E[b, t][m[b, t]].mean(0),
+                                           rtol=1e-5, atol=1e-6)
+            else:
+                assert np.all(out[b, t] == 0.0)
+
+
+def test_masked_softmax_sums(rng):
+    s = rng.normal(size=(4, 7)).astype(np.float32)
+    m = rng.random((4, 7)) > 0.3
+    m[2] = False
+    a = np.asarray(masked_softmax(jnp.asarray(s), jnp.asarray(m)))
+    np.testing.assert_allclose(a.sum(-1)[[0, 1, 3]], 1.0, rtol=1e-5)
+    assert np.all(a[2] == 0.0)
+    assert np.all(a[~m] == 0.0)
