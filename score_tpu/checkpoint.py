@@ -1,0 +1,70 @@
+"""Checkpoint / resume via orbax (SURVEY.md §5, §2.3 #15).
+
+The reference uses `tf.train.Saver` keeping only the best-val snapshot.
+Here: orbax-checkpoint with sharded-array support (row-sharded tables
+restore directly onto the mesh without gathering), saving
+{params, opt_state, step, data-iterator state, best-val metric}. Retention:
+`latest` (for crash resume) + `best` (by val AUC, for final test).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper holding a `latest` and a `best` checkpoint."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, name: str, state, it_state: Tuple[int, int],
+             best_val: float, step: int) -> None:
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(step),
+            "it_epoch": np.asarray(it_state[0]),
+            "it_pos": np.asarray(it_state[1]),
+            "best_val": np.asarray(best_val),
+        }
+        path = self._path(name)
+        self._ckptr.save(path, payload, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, name: str, state) -> Optional[dict]:
+        """Restore into the structure/shardings of `state`. Returns the
+        payload dict (state fields + iterator/best metadata) or None."""
+        path = self._path(name)
+        if not os.path.exists(path):
+            return None
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(0),
+            "it_epoch": np.asarray(0),
+            "it_pos": np.asarray(0),
+            "best_val": np.asarray(0.0),
+        }
+        restored = self._ckptr.restore(path, template)
+        return restored
+
+    def has(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+
+def apply_restore(state, restored: dict):
+    """Rebuild a TrainState from a restored payload."""
+    return state.replace(
+        params=restored["params"], opt_state=restored["opt_state"],
+        step=int(restored["step"]))

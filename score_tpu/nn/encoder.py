@@ -74,7 +74,10 @@ class AttnPool(nn.Module):
         f = hs.shape[-1]
         dq = query.shape[-1]
         W = self.param("w", nn.initializers.lecun_normal(), (f, dq))
-        scores = jnp.einsum("btf,fq,bq->bt", hs, W, query) / jnp.sqrt(
+        # contract the query through W first: O(B f dq) then O(B T f), not
+        # O(B T f dq) (same reassociation fix as SlotAttention)
+        q = jnp.einsum("fq,bq->bf", W, query)
+        scores = jnp.einsum("btf,bf->bt", hs, q) / jnp.sqrt(
             jnp.asarray(dq, hs.dtype))
         a = masked_softmax(scores, mask)
         return jnp.einsum("bt,btf->bf", a, hs)

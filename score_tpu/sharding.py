@@ -86,12 +86,13 @@ def shard_state(mesh: Mesh, state):
 
 
 def graph_spec(path_str: str, leaf) -> P:
-    """Adjacency arrays [T, N+1, k] / counts [T, N+1]: shard the node axis
-    over 'rows' so the graph store scales with the slice like the tables."""
+    """Adjacency arrays [N+1, T, k] / counts [N+1, T] (node-major): shard the
+    node axis over 'rows' so the graph store scales with the slice like the
+    tables."""
     if getattr(leaf, "ndim", 0) == 3:
-        return P(None, ROWS_AXIS, None)
+        return P(ROWS_AXIS, None, None)
     if getattr(leaf, "ndim", 0) == 2:
-        return P(None, ROWS_AXIS)
+        return P(ROWS_AXIS, None)
     return P()
 
 

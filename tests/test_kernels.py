@@ -1,0 +1,78 @@
+"""Pallas kernels vs jnp reference implementations (SURVEY.md §4.2 'kernel
+tests'): interpret=True on CPU, shape grid incl. non-divisible tile edges."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from score_tpu.kernels.coattn import cross_coattn_pallas
+from score_tpu.nn.coattn import cross_coattn_ref
+
+
+def _inputs(rng, B, T, n, m, d, pad_frac=0.35):
+    Eu = jnp.asarray(rng.normal(size=(B, T, n, d)).astype(np.float32))
+    Ei = jnp.asarray(rng.normal(size=(B, T, m, d)).astype(np.float32))
+    mu = rng.random((B, T, n)) > pad_frac
+    mi = rng.random((B, T, m)) > pad_frac
+    mu[0, 0] = False                      # fully-padded slots
+    if B > 1 and T > 1:
+        mi[1, 1] = False
+    Wr = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32))
+    eu = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    ei = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    return Eu, Ei, jnp.asarray(mu), jnp.asarray(mi), Wr, eu, ei
+
+
+# shape grid incl. tile-edge cases: B*T below / equal / above / non-divisible
+# relative to tile_g (256 default — use small shapes, the tile pads up)
+SHAPES = [
+    (2, 3, 5, 6, 8),       # tiny, G=6 << tile
+    (4, 8, 10, 10, 16),    # paper-scale slice, G=32
+    (3, 7, 9, 11, 32),     # odd everything, G=21
+]
+
+
+@pytest.mark.parametrize("B,T,n,m,d", SHAPES)
+@pytest.mark.parametrize("pool", ["sum", "max"])
+@pytest.mark.parametrize("target_aware", [True, False])
+def test_coattn_kernel_matches_ref(rng, B, T, n, m, d, pool, target_aware):
+    Eu, Ei, mu, mi, Wr, eu, ei = _inputs(rng, B, T, n, m, d)
+    want_cu, want_ci = cross_coattn_ref(Eu, Ei, mu, mi, Wr, eu, ei,
+                                        pool=pool, target_aware=target_aware)
+    got_cu, got_ci = cross_coattn_pallas(Eu, Ei, mu, mi, Wr, eu, ei,
+                                         pool, target_aware, True)
+    np.testing.assert_allclose(np.asarray(got_cu), np.asarray(want_cu),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_ci), np.asarray(want_ci),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_coattn_kernel_grads_match_ref(rng):
+    B, T, n, m, d = 2, 4, 6, 7, 16
+    Eu, Ei, mu, mi, Wr, eu, ei = _inputs(rng, B, T, n, m, d)
+
+    def loss_ref(Eu_, Ei_, Wr_, eu_, ei_):
+        cu, ci = cross_coattn_ref(Eu_, Ei_, mu, mi, Wr_, eu_, ei_)
+        return jnp.sum(cu ** 2) + jnp.sum(ci * cu)
+
+    def loss_pal(Eu_, Ei_, Wr_, eu_, ei_):
+        cu, ci = cross_coattn_pallas(Eu_, Ei_, mu, mi, Wr_, eu_, ei_,
+                                     "sum", True, True)
+        return jnp.sum(cu ** 2) + jnp.sum(ci * cu)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(Eu, Ei, Wr, eu, ei)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(Eu, Ei, Wr, eu, ei)
+    for gr, gp, name in zip(g_ref, g_pal, ["Eu", "Ei", "Wr", "eu", "ei"]):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_coattn_kernel_under_jit(rng):
+    B, T, n, m, d = 2, 5, 4, 6, 8
+    Eu, Ei, mu, mi, Wr, eu, ei = _inputs(rng, B, T, n, m, d)
+    f = jax.jit(lambda *a: cross_coattn_pallas(*a, "sum", True, True))
+    got_cu, got_ci = f(Eu, Ei, mu, mi, Wr, eu, ei)
+    want_cu, want_ci = cross_coattn_ref(Eu, Ei, mu, mi, Wr, eu, ei)
+    np.testing.assert_allclose(np.asarray(got_cu), np.asarray(want_cu),
+                               rtol=1e-5, atol=1e-5)

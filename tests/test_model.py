@@ -73,6 +73,7 @@ def test_no_leakage_through_future_slots(tiny_dataset):
     out1 = model.apply({"params": state.params},
                        gather_batch(g, users, items, slots))
     # corrupt all adjacency at the max slot and above
+    import dataclasses
     t0 = int(np.min(np.asarray(slots)))
     u2i2 = gh.u2i.copy()
     u2i2[t0:] = 1                   # garbage neighbors in future slots
@@ -82,9 +83,8 @@ def test_no_leakage_through_future_slots(tiny_dataset):
     i2u2[t0:] = 1
     icnt2 = gh.i2u_cnt.copy()
     icnt2[t0:] = gh.item_fanout
-    from score_tpu.graph import DeviceGraph
-    g2 = DeviceGraph(u2i=jnp.asarray(u2i2), u2i_cnt=jnp.asarray(cnt2),
-                     i2u=jnp.asarray(i2u2), i2u_cnt=jnp.asarray(icnt2))
+    g2 = device_graph(dataclasses.replace(
+        gh, u2i=u2i2, u2i_cnt=cnt2, i2u=i2u2, i2u_cnt=icnt2))
     # only examples whose t* <= t0 are guaranteed unchanged
     keep = np.asarray(slots) <= t0
     out2 = model.apply({"params": state.params},
@@ -104,6 +104,7 @@ def test_padded_tail_invariance(tiny_dataset):
     mb = _batch(tiny_dataset, g)
     out1 = model.apply({"params": state.params}, mb)
     # overwrite padding positions with a valid-looking id
+    import dataclasses
     j = np.arange(gh.user_fanout)[None, None, :]
     upad = j >= gh.u2i_cnt[..., None]
     u2i2 = gh.u2i.copy()
@@ -112,9 +113,7 @@ def test_padded_tail_invariance(tiny_dataset):
     ipad = jm >= gh.i2u_cnt[..., None]
     i2u2 = gh.i2u.copy()
     i2u2[ipad] = 3
-    from score_tpu.graph import DeviceGraph
-    g2 = DeviceGraph(u2i=jnp.asarray(u2i2), u2i_cnt=g.u2i_cnt,
-                     i2u=jnp.asarray(i2u2), i2u_cnt=g.i2u_cnt)
+    g2 = device_graph(dataclasses.replace(gh, u2i=u2i2, i2u=i2u2))
     mb2 = _batch(tiny_dataset, g2)
     out2 = model.apply({"params": state.params}, mb2)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)

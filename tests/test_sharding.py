@@ -1,0 +1,142 @@
+"""Sharding tests without a cluster (SURVEY.md §4.2): 8 fake CPU devices.
+
+Gates for configs4: row-sharded lookups must be bit-identical to a
+single-device gather (forward AND gradient), and N-way data-parallel
+training must match single-device training on the concatenated batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from score_tpu.sharding import (a2a_lookup, batch_sharding, factor_mesh,
+                                make_mesh, pad_rows, psum_lookup, shard_graph,
+                                shard_state, state_spec)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 fake devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(jax.devices()[:8])
+
+
+def test_factor_mesh():
+    assert factor_mesh(1) == (1, 1)
+    assert factor_mesh(8) == (2, 4)
+    assert factor_mesh(4) == (2, 2)
+    assert factor_mesh(6) == (2, 3)
+
+
+@pytest.mark.parametrize("lookup", [psum_lookup, a2a_lookup])
+@pytest.mark.parametrize("n_ids", [16, 40, 18])
+def test_sharded_lookup_matches_local(mesh, rng, lookup, n_ids):
+    V, d = 64, 16
+    table = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, V, size=(n_ids,)).astype(np.int32))
+    got = lookup(mesh, table, ids)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("lookup", [psum_lookup, a2a_lookup])
+def test_sharded_lookup_grads(mesh, rng, lookup):
+    V, d = 64, 8
+    table = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, V, size=(24,)).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(24, d)).astype(np.float32))
+
+    def loss(t):
+        return jnp.sum(lookup(mesh, t, ids) * w)
+
+    g = jax.grad(loss)(table)
+    want = np.zeros((V, d), np.float32)
+    np.add.at(want, np.asarray(ids), np.asarray(w))
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6, atol=1e-6)
+
+
+def test_pad_rows():
+    t = jnp.ones((10, 4))
+    p = pad_rows(t, 4)
+    assert p.shape == (12, 4)
+    assert np.all(np.asarray(p[10:]) == 0)
+    assert pad_rows(t, 5).shape == (10, 4)
+
+
+def test_state_spec_rules():
+    assert state_spec("['tables']['user_table']", jnp.ones((8, 4))) == \
+        P("rows", None)
+    assert state_spec("['gru_u']['wx']", jnp.ones((8, 4))) == P()
+    assert state_spec("['tables']['user_table']", jnp.ones(())) == P()
+
+
+def test_data_parallel_grads_match_single_device(mesh, tiny_dataset, rng):
+    """N-way DP grads on a sharded batch == single-device grads on the full
+    batch (SURVEY.md §4.2)."""
+    from score_tpu.config import configs3
+    from score_tpu.graph import device_graph, gather_batch
+    from score_tpu.train import build_model, init_state
+    from score_tpu.nn.scorer import bce_loss
+
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+
+    B = 32
+    idx = np.linspace(0, len(tiny_dataset.train) - 1, B).astype(np.int64)
+    users = jnp.asarray(tiny_dataset.train.user[idx])
+    items = jnp.asarray(tiny_dataset.train.item[idx])
+    slots = jnp.asarray(tiny_dataset.train.slot[idx])
+    labels = jnp.asarray((np.arange(B) % 2).astype(np.float32))
+
+    def loss_fn(params, graph, u, i, t, y):
+        mb = gather_batch(graph, u, i, t)
+        logits = model.apply({"params": params}, mb)
+        return bce_loss(logits, y)
+
+    # single device
+    g_single = jax.grad(loss_fn)(state.params, g, users, items, slots, labels)
+
+    # sharded: params/graph sharded on mesh, batch over 'data'
+    params_sh = shard_state(mesh, state.params)
+    graph_sh = shard_graph(mesh, g)
+    bs = batch_sharding(mesh)
+    args_sh = [jax.device_put(x, bs) for x in (users, items, slots, labels)]
+    g_shard = jax.jit(jax.grad(loss_fn))(params_sh, graph_sh, *args_sh)
+
+    flat_s = jax.tree_util.tree_leaves(g_single)
+    flat_m = jax.tree_util.tree_leaves(g_shard)
+    for a, b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_train_step_runs(mesh, tiny_dataset):
+    """Full donated train step under shardings executes and stays finite."""
+    from score_tpu.config import configs3
+    from score_tpu.graph import device_graph
+    from score_tpu.train import build_model, init_state, make_train_step
+
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    state = shard_state(mesh, state)
+    g = shard_graph(mesh, g)
+    step = make_train_step(model, cfg)
+    bs = batch_sharding(mesh)
+    B = 16
+    batch = {
+        "user": jax.device_put(jnp.asarray(tiny_dataset.train.user[:B]), bs),
+        "item": jax.device_put(jnp.asarray(tiny_dataset.train.item[:B]), bs),
+        "slot": jax.device_put(jnp.asarray(tiny_dataset.train.slot[:B]), bs),
+    }
+    state2, m = step(state, g, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    # table params stay row-sharded after the update
+    ut = state2.params["tables"]["user_table"]
+    assert not ut.sharding.is_fully_replicated

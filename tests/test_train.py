@@ -59,6 +59,40 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0] - 0.01, (losses[0], losses[-1])
 
 
+def test_train_loop_matches_sequential_steps():
+    """K steps via the fused lax.scan loop == K sequential jitted steps."""
+    from score_tpu.train import _stack_batches, make_train_loop
+    from score_tpu.data.pipeline import TargetIterator
+
+    ds = _golden_ds()
+    cfg = configs0()
+    g = device_graph(ds.graph)
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    rng = jax.random.PRNGKey(0)
+
+    state_a = init_state(cfg, model, g, rng)
+    state_b = init_state(cfg, model, g, rng)
+    step = make_train_step(model, cfg)
+    loop = make_train_loop(model, cfg)
+
+    K, B = 4, 64
+    it = TargetIterator(ds.train, B, seed=3)
+    batches = [next(it) for _ in range(K)]
+    for b in batches:
+        state_a, m_a = step(state_a, g,
+                            {k: jnp.asarray(v) for k, v in b.items()}, rng)
+    it2 = TargetIterator(ds.train, B, seed=3)
+    stacked = _stack_batches(it2, K)
+    state_b, m_b = loop(state_b, g, stacked, rng)
+
+    np.testing.assert_allclose(float(m_a["loss"]),
+                               float(m_b["loss"][-1]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_eval_step_shapes():
     ds = _golden_ds()
     cfg = configs0()
