@@ -32,11 +32,13 @@ class ModelConfig:
                the opposite target embedding as query (paper §3.4).
     """
 
+    arch: str = "score"            # 'score' | 'mf' | 'pop' (baselines)
     embed_dim: int = 16
     hidden_dim: int = 32
     mlp_dims: tuple = (64, 32)
     sides: str = "dual"            # 'user' | 'dual'
     slot_agg: str = "coattn"       # 'mean' | 'attn' | 'coattn'
+    seq_encoder: str = "gru"       # 'gru' | 'selfattn' (SASRec-style)
     seq_pool: str = "attn"         # 'last' | 'attn'
     shared_table: bool = False     # one table over users+items (configs0)
     target_aware: bool = True      # add Eu_t·ei / Ei_t·eu pre-softmax terms
@@ -46,8 +48,10 @@ class ModelConfig:
     compute_dtype: str = "float32"  # bfloat16 for TPU perf configs
 
     def __post_init__(self):
+        assert self.arch in ("score", "mf", "pop"), self.arch
         assert self.sides in ("user", "dual"), self.sides
         assert self.slot_agg in ("mean", "attn", "coattn"), self.slot_agg
+        assert self.seq_encoder in ("gru", "selfattn"), self.seq_encoder
         assert self.seq_pool in ("last", "attn"), self.seq_pool
         assert self.coattn_pool in ("sum", "max"), self.coattn_pool
 

@@ -22,8 +22,22 @@ import numpy as np
 
 def synth_events(num_users: int, num_items: int, num_events: int,
                  num_slots: int = 10, latent_dim: int = 8,
-                 seed: int = 0):
-    """Latent-factor event generator -> (user, item, ts) int arrays.
+                 seed: int = 0, mode: str = "latent",
+                 num_communities: int = 16, burst_rho: float = 0.7,
+                 burst_scale: float = 2.0):
+    """Event generator -> (user, item, ts) int arrays.
+
+    mode='latent': static latent factors + popularity + slow drift. A strong
+    (u, i)-embedding model can learn everything — history adds little.
+
+    mode='collab': adds community-trend dynamics that make *dual-side
+    neighbor histories* genuinely predictive: users belong to communities,
+    items have per-slot per-community affinity bursts following an AR(1)
+    process (rho correlates adjacent slots). Which communities an item is
+    currently hot in is visible only through its recent interaction
+    neighbors, so models that encode the item's user-history (configs1+)
+    and relate it to the user side (configs3) hold signal a static
+    factorization cannot (basis for the ladder's quality ordering).
 
     ts spans [0, num_slots * 86400) so equal-width bucketing at `num_slots`
     recovers the generative slots.
@@ -38,6 +52,16 @@ def synth_events(num_users: int, num_items: int, num_events: int,
     drift = rng.normal(scale=0.15, size=(num_slots, latent_dim)).astype(
         np.float32).cumsum(axis=0)
 
+    if mode == "collab":
+        com_u = rng.integers(0, num_communities, size=num_users)
+        burst = np.zeros((num_slots, num_communities, num_items), np.float32)
+        burst[0] = burst_scale * rng.normal(
+            size=(num_communities, num_items))
+        for s in range(1, num_slots):
+            burst[s] = (burst_rho * burst[s - 1]
+                        + burst_scale * np.sqrt(1 - burst_rho ** 2)
+                        * rng.normal(size=(num_communities, num_items)))
+
     users = rng.integers(0, num_users, size=num_events)
     slots = rng.integers(0, num_slots, size=num_events)
     items = np.empty(num_events, dtype=np.int64)
@@ -50,6 +74,8 @@ def synth_events(num_users: int, num_items: int, num_events: int,
         cands = rng.integers(0, num_items, size=(k, cand))
         pu_s = pu[users[m]] + drift[s][None, :]
         logits = np.einsum("kd,kcd->kc", pu_s, qi[cands]) + pop[cands]
+        if mode == "collab":
+            logits = logits + burst[s][com_u[users[m]][:, None], cands]
         logits -= logits.max(axis=1, keepdims=True)
         prob = np.exp(logits)
         prob /= prob.sum(axis=1, keepdims=True)
@@ -64,10 +90,11 @@ def synth_events(num_users: int, num_items: int, num_events: int,
 
 def write_raw(dataset: str, path: str, num_users: int = 2000,
               num_items: int = 4000, num_events: int = 200_000,
-              num_slots: int = 10, seed: int = 0) -> str:
+              num_slots: int = 10, seed: int = 0,
+              mode: str = "collab") -> str:
     """Write a schema-identical raw CSV for `dataset` and return its path."""
     user, item, ts = synth_events(num_users, num_items, num_events,
-                                  num_slots=num_slots, seed=seed)
+                                  num_slots=num_slots, seed=seed, mode=mode)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     rng = np.random.default_rng(seed + 1)
     n = user.size

@@ -53,7 +53,10 @@ class SlotAttention(nn.Module):
                  target: jnp.ndarray) -> jnp.ndarray:
         # E: [B, T, n, d], mask: [B, T, n], target: [B, d] -> [B, T, d]
         d = E.shape[-1]
-        W = self.param("w", nn.initializers.lecun_normal(), (d, d))
+        # zero init => uniform attention at t=0, i.e. this rung starts as
+        # exact masked-mean (configs1 behavior) and learns to deviate —
+        # random init made richer rungs start worse than simpler ones
+        W = self.param("w", nn.initializers.zeros_init(), (d, d))
         # project the target, not the neighbors: (E W) . t == E . (W t), and
         # W t is O(B d^2) vs O(B T n d^2) — measured 8 ms/step difference
         # (XLA did not reassociate this on its own)
@@ -130,7 +133,9 @@ class CrossCoAttention(nn.Module):
     @nn.compact
     def __call__(self, Eu, Ei, mu, mi, eu, ei):
         d = Eu.shape[-1]
-        Wr = self.param("wr", nn.initializers.lecun_normal(), (d, d))
+        # zero init: relation scores start at 0 => dual masked-mean
+        # aggregation (see SlotAttention note)
+        Wr = self.param("wr", nn.initializers.zeros_init(), (d, d))
         if self.use_pallas:
             from score_tpu.kernels.coattn import cross_coattn_pallas
             return cross_coattn_pallas(

@@ -73,7 +73,9 @@ class AttnPool(nn.Module):
         # hs: [B,T,f], query: [B,dq], mask: [B,T] -> [B,f]
         f = hs.shape[-1]
         dq = query.shape[-1]
-        W = self.param("w", nn.initializers.lecun_normal(), (f, dq))
+        # zero init: pooling starts uniform over valid slots (see the
+        # SlotAttention zero-init note in coattn.py)
+        W = self.param("w", nn.initializers.zeros_init(), (f, dq))
         # contract the query through W first: O(B f dq) then O(B T f), not
         # O(B T f dq) (same reassociation fix as SlotAttention)
         q = jnp.einsum("fq,bq->bf", W, query)

@@ -83,7 +83,13 @@ class ScoreModel(nn.Module):
                 ci = slot_mean(Ei, mi)
 
         # --- sequence encoding (step 4) ---
-        hu_seq = GRU(features=cfg.hidden_dim, name="gru_u")(cu, sv)
+        def encoder(name):
+            if cfg.seq_encoder == "selfattn":
+                from .baselines import SelfAttnEncoder
+                return SelfAttnEncoder(features=cfg.hidden_dim, name=name)
+            return GRU(features=cfg.hidden_dim, name=name)
+
+        hu_seq = encoder("gru_u")(cu, sv)
         if cfg.seq_pool == "attn":
             h_u = AttnPool(name="pool_u")(hu_seq, ei, sv)
         else:
@@ -91,7 +97,7 @@ class ScoreModel(nn.Module):
 
         feats = [h_u, eu, ei, eu * ei]
         if dual:
-            hi_seq = GRU(features=cfg.hidden_dim, name="gru_i")(ci, sv)
+            hi_seq = encoder("gru_i")(ci, sv)
             if cfg.seq_pool == "attn":
                 h_i = AttnPool(name="pool_i")(hi_seq, eu, sv)
             else:

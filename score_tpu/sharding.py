@@ -31,6 +31,34 @@ DATA_AXIS = "data"
 ROWS_AXIS = "rows"
 
 
+def bringup(shard_cfg=None, coordinator_address: str | None = None,
+            num_processes: int | None = None,
+            process_id: int | None = None):
+    """Distributed bring-up (SURVEY.md §3.5 init() stack).
+
+    Multi-host: call once per host process before any jax op;
+    `jax.distributed.initialize` wires the hosts (args optional when the
+    cluster env provides them). Single-host: a no-op. Returns
+    (mesh, lookup_fn) per the ShardingConfig.
+
+    Transport below the collectives is XLA's (ICI intra-slice, DCN across) —
+    nothing user-level to configure (SURVEY.md §2.2 'Communication
+    backend').
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    devices = jax.devices()
+    if shard_cfg is None or shard_cfg.num_data * shard_cfg.num_rows <= 1:
+        mesh = make_mesh(devices[:1], data=1, rows=1)
+        return mesh, None
+    n = shard_cfg.num_data * shard_cfg.num_rows
+    mesh = make_mesh(devices[:n], data=shard_cfg.num_data,
+                     rows=shard_cfg.num_rows)
+    return mesh, make_lookup_fn(mesh, shard_cfg.lookup_mode)
+
+
 def factor_mesh(n: int) -> tuple[int, int]:
     """Factor n devices into (data, rows): rows gets the larger power so
     table capacity scales with the slice; data >= 2 when possible so
@@ -196,6 +224,20 @@ def a2a_lookup(mesh: Mesh, table: jnp.ndarray,
         body, mesh=mesh,
         in_specs=(P(ROWS_AXIS, None), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS), check_vma=False)(table, ids)
+
+
+def make_lookup_fn(mesh: Mesh, mode: str):
+    """Embedding-lookup implementation for ShardingConfig.lookup_mode,
+    pluggable into ScoreModel.lookup_fn. 'local'/None -> plain take (GSPMD
+    partitions it); 'psum'/'a2a' -> the explicit shard_map exchanges."""
+    import functools
+    if mode in (None, "local"):
+        return None
+    if mode == "psum":
+        return functools.partial(psum_lookup, mesh)
+    if mode == "a2a":
+        return functools.partial(a2a_lookup, mesh)
+    raise ValueError(f"unknown lookup_mode {mode}")
 
 
 def pad_rows(table: jnp.ndarray, n_rows: int) -> jnp.ndarray:

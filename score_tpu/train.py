@@ -37,9 +37,14 @@ class TrainState(train_state.TrainState):
 
 
 def build_model(cfg: Config, num_users: int, num_items: int,
-                lookup_fn=None, use_pallas_coattn: bool = False) -> ScoreModel:
-    return ScoreModel(cfg=cfg.model, num_users=num_users, num_items=num_items,
-                      lookup_fn=lookup_fn, use_pallas_coattn=use_pallas_coattn)
+                lookup_fn=None, use_pallas_coattn: bool = False):
+    if cfg.model.arch != "score":
+        from .nn.baselines import MFModel, PopModel
+        cls = {"mf": MFModel, "pop": PopModel}[cfg.model.arch]
+    else:
+        cls = ScoreModel
+    return cls(cfg=cfg.model, num_users=num_users, num_items=num_items,
+               lookup_fn=lookup_fn, use_pallas_coattn=use_pallas_coattn)
 
 
 def init_state(cfg: Config, model: ScoreModel, graph: DeviceGraph,
@@ -54,9 +59,11 @@ def init_state(cfg: Config, model: ScoreModel, graph: DeviceGraph,
 
 
 def _table_l2(params) -> jnp.ndarray:
-    """Sum of squares over embedding-table params (paper §3.5 λ‖Emb‖²)."""
-    tables = params["tables"]
-    return sum(jnp.sum(jnp.square(v)) for v in jax.tree_util.tree_leaves(tables))
+    """Sum of squares over embedding-table params (paper §3.5 λ‖Emb‖²).
+    Path-based so baseline archs (MF biases etc.) are covered too."""
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    return sum(jnp.sum(jnp.square(v)) for p, v in leaves
+               if "table" in jax.tree_util.keystr(p))
 
 
 def _resample_collisions(neg: jnp.ndarray, pos: jnp.ndarray,
@@ -209,9 +216,23 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
     """Epoch loop with periodic validation, early stop on val AUC, best-param
     tracking, final test metrics (SURVEY.md §3.2)."""
     graph = device_graph(ds.graph)
-    model = build_model(cfg, ds.num_users, ds.num_items)
+    n_shards = cfg.sharding.num_data * cfg.sharding.num_rows
+    lookup_fn = None
+    mesh = None
+    if n_shards > 1:
+        from .sharding import (batch_sharding, bringup, shard_graph,
+                               shard_state)
+        mesh, lookup_fn = bringup(cfg.sharding)
+        graph = shard_graph(mesh, graph)
+    model = build_model(cfg, ds.num_users, ds.num_items, lookup_fn=lookup_fn)
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = init_state(cfg, model, graph, rng)
+    if mesh is not None:
+        state = shard_state(mesh, state)
+        _bs = batch_sharding(mesh)
+        put = lambda v: jax.device_put(jnp.asarray(v), _bs)
+    else:
+        put = jnp.asarray
     train_step = make_train_step(model, cfg)
     eval_step = make_eval_step(model)
 
@@ -244,7 +265,7 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
     while step < total_steps:
         batch = next(it)
         state, m = train_step(
-            state, graph, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+            state, graph, {k: put(v) for k, v in batch.items()}, rng)
         step += 1
         if cfg.train.profile_dir:
             # trace steps 10..30 (past compile, short enough to inspect)

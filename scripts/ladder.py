@@ -23,7 +23,7 @@ def main():
 
     ds = PREP[dataset](f"/tmp/score_tpu_data/ladder_{dataset}",
                        synth_kw=dict(num_users=3000, num_items=6000,
-                                     num_events=400_000))
+                                     num_events=400_000, mode="collab"))
     print(f"{dataset}: users={ds.num_users} items={ds.num_items} "
           f"train={len(ds.train)}", flush=True)
 

@@ -1,0 +1,102 @@
+"""Baseline archs + self-attention encoder + serving API."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from score_tpu.config import configs1, configs3
+from score_tpu.graph import device_graph, gather_batch
+from score_tpu.train import build_model, init_state, make_train_step
+
+
+def _cfg_with(base, **model_kw):
+    return base.replace(model=dataclasses.replace(base.model, **model_kw))
+
+
+def _batch(ds, g, n=8):
+    idx = np.linspace(0, len(ds.train) - 1, n).astype(np.int64)
+    return gather_batch(g, jnp.asarray(ds.train.user[idx]),
+                        jnp.asarray(ds.train.item[idx]),
+                        jnp.asarray(ds.train.slot[idx]))
+
+
+def test_mf_and_pop_forward_and_train(tiny_dataset):
+    g = device_graph(tiny_dataset.graph)
+    for arch in ("mf", "pop"):
+        cfg = _cfg_with(configs1(), arch=arch)
+        model = build_model(cfg, tiny_dataset.num_users,
+                           tiny_dataset.num_items)
+        state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+        out = model.apply({"params": state.params}, _batch(tiny_dataset, g))
+        assert out.shape == (8,)
+        step = make_train_step(model, cfg)
+        batch = {k: jnp.asarray(v) for k, v in dict(
+            user=tiny_dataset.train.user[:64],
+            item=tiny_dataset.train.item[:64],
+            slot=tiny_dataset.train.slot[:64]).items()}
+        losses = []
+        for _ in range(10):
+            state, m = step(state, g, batch, jax.random.PRNGKey(0))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], (arch, losses)
+
+
+def test_selfattn_encoder_variant(tiny_dataset):
+    cfg = _cfg_with(configs3(), seq_encoder="selfattn")
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    out = model.apply({"params": state.params}, _batch(tiny_dataset, g))
+    assert out.shape == (8,)
+    assert np.isfinite(np.asarray(out)).all()
+    # causality: corrupting future slots must not change targets at t* <= t0
+    # (covered structurally by slot_valid masking upstream of the encoder)
+
+
+def test_selfattn_causal_masking(rng):
+    from score_tpu.nn.baselines import SelfAttnEncoder
+    B, T, d, f = 2, 6, 8, 16
+    xs = rng.normal(size=(B, T, d)).astype(np.float32)
+    mask = np.ones((B, T), bool)
+    enc = SelfAttnEncoder(features=f)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(xs),
+                      jnp.asarray(mask))
+    h1 = enc.apply(params, jnp.asarray(xs), jnp.asarray(mask))
+    xs2 = xs.copy()
+    xs2[:, 4:] = 99.0          # corrupt the future
+    h2 = enc.apply(params, jnp.asarray(xs2), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(h1)[:, :4], np.asarray(h2)[:, :4],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scoring_service(tiny_dataset):
+    from score_tpu.serve import ScoringService
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    svc = ScoringService(cfg, tiny_dataset, state.params)
+    items = [1, 2, 3, 5, 7]
+    s = svc.score(3, items)
+    assert s.shape == (5,)
+    # bucketing: different lengths give identical scores for shared prefix
+    s2 = svc.score(3, items + [11, 13])
+    np.testing.assert_allclose(s, s2[:5], rtol=1e-5, atol=1e-6)
+    top_items, top_scores = svc.topk(3, k=4, candidates=np.arange(1, 50))
+    assert top_items.shape == (4,)
+    assert (np.diff(top_scores) <= 1e-6).all()
+
+
+def test_scoring_service_from_checkpoint(tiny_dataset, tmp_path):
+    from score_tpu.checkpoint import CheckpointManager
+    from score_tpu.serve import ScoringService
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("best", state, (0, 0), 0.7, 10)
+    svc = ScoringService.from_checkpoint(cfg, tiny_dataset, str(tmp_path))
+    assert svc.score(1, [1, 2]).shape == (2,)

@@ -115,6 +115,81 @@ def test_data_parallel_grads_match_single_device(mesh, tiny_dataset, rng):
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("mode", ["psum", "a2a"])
+def test_model_forward_with_exchange_lookup(mesh, tiny_dataset, mode):
+    """Full configs3 forward with the shard_map lookup exchange == local
+    gather, through the flax model (the configs4 integration path)."""
+    from score_tpu.config import configs3
+    from score_tpu.graph import device_graph, gather_batch
+    from score_tpu.sharding import make_lookup_fn
+    from score_tpu.train import build_model, init_state
+
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model_local = build_model(cfg, tiny_dataset.num_users,
+                              tiny_dataset.num_items)
+    state = init_state(cfg, model_local, g, jax.random.PRNGKey(0))
+    model_x = build_model(cfg, tiny_dataset.num_users,
+                          tiny_dataset.num_items,
+                          lookup_fn=make_lookup_fn(mesh, mode))
+    B = 16
+    idx = np.linspace(0, len(tiny_dataset.train) - 1, B).astype(np.int64)
+    mb = gather_batch(g, jnp.asarray(tiny_dataset.train.user[idx]),
+                      jnp.asarray(tiny_dataset.train.item[idx]),
+                      jnp.asarray(tiny_dataset.train.slot[idx]))
+    out_local = model_local.apply({"params": state.params}, mb)
+    out_x = model_x.apply({"params": state.params}, mb)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_local),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_a2a_train_step_matches_local(mesh, tiny_dataset):
+    """One full a2a-lookup train step == the local-lookup step (params after
+    update compared), under jit on the mesh."""
+    from score_tpu.config import configs4
+    from score_tpu.graph import device_graph
+    from score_tpu.sharding import make_lookup_fn
+    from score_tpu.train import build_model, init_state, make_train_step
+
+    cfg = configs4()
+    g = device_graph(tiny_dataset.graph)
+    m_local = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    m_a2a = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items,
+                        lookup_fn=make_lookup_fn(mesh, "a2a"))
+    s_local = init_state(cfg, m_local, g, jax.random.PRNGKey(0))
+    s_a2a = init_state(cfg, m_a2a, g, jax.random.PRNGKey(0))
+    B = 16
+    batch = {
+        "user": jnp.asarray(tiny_dataset.train.user[:B]),
+        "item": jnp.asarray(tiny_dataset.train.item[:B]),
+        "slot": jnp.asarray(tiny_dataset.train.slot[:B]),
+    }
+    rng = jax.random.PRNGKey(0)
+    s_local, ml = make_train_step(m_local, cfg)(s_local, g, batch, rng)
+    s_a2a, ma = make_train_step(m_a2a, cfg)(s_a2a, g, batch, rng)
+    np.testing.assert_allclose(float(ml["loss"]), float(ma["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_local.params),
+                    jax.tree_util.tree_leaves(s_a2a.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_configs4_driver_end_to_end(tiny_dataset):
+    """The full train() driver under configs4 (mesh + a2a lookups) on the
+    fake 8-device mesh — the configs[4] gate (SURVEY.md §4.2)."""
+    from score_tpu.config import configs4
+    from score_tpu.train import train
+
+    cfg = configs4(num_data=2, num_rows=4)
+    cfg = cfg.replace(train=cfg.train.__class__(
+        batch_size=64, num_epochs=1, eval_every_steps=10 ** 9,
+        early_stop_patience=10 ** 9, log_every_steps=10 ** 9))
+    out = train(cfg, tiny_dataset, verbose=False)
+    assert out["steps_run"] > 0
+    assert np.isfinite(out["test"]["auc"])
+
+
 def test_sharded_train_step_runs(mesh, tiny_dataset):
     """Full donated train step under shardings executes and stays finite."""
     from score_tpu.config import configs3
