@@ -86,6 +86,16 @@ def main() -> None:
     step_s = (time.time() - t1) / (TRAIN_CALLS * K)
     examples_per_s = BATCH / step_s
 
+    # --- ranked-eval throughput (targets/s, each vs 1+100 candidates) ---
+    from score_tpu.train import evaluate
+    n_eval = 4096
+    evaluate(eval_step, state.params, graph, ds.val,
+             batch_size=512, max_targets=512)      # compile warmup
+    t_ev = time.time()
+    ev = evaluate(eval_step, state.params, graph, ds.val,
+                  batch_size=512, max_targets=n_eval)
+    eval_targets_per_s = n_eval / (time.time() - t_ev)
+
     # --- p50 scoring latency (small-batch forward, warm cache) ---
     ev_batch = {
         "user": jnp.asarray(ds.val.user[:LATENCY_BATCH]),
@@ -114,6 +124,8 @@ def main() -> None:
         "vs_baseline": round(vs, 3),
         "extra": {
             "p50_scoring_latency_ms": round(p50_ms, 2),
+            "eval_targets_per_s": round(eval_targets_per_s, 1),
+            "val_auc_probe": round(ev["auc"], 4),
             "step_ms": round(step_s * 1e3, 2),
             "final_loss": round(final_loss, 4),
             "batch": BATCH,

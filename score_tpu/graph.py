@@ -92,3 +92,20 @@ def gather_batch(g: DeviceGraph, users: jnp.ndarray, items: jnp.ndarray,
     return dict(user=users, item=items, slot=slots,
                 u_hist=u_hist, u_cnt=u_cnt, i_hist=i_hist, i_cnt=i_cnt,
                 slot_valid=sv)
+
+
+def gather_candidate_batch(g: DeviceGraph, users: jnp.ndarray,
+                           cand: jnp.ndarray, slots: jnp.ndarray) -> dict:
+    """History inputs for one user vs C candidate items
+    (ScoreModel.score_candidates). users/slots: [B]; cand: [B, C].
+    The user-side gather runs once per user — not per candidate."""
+    T = g.num_slots
+    B, C = cand.shape
+    u_hist, u_cnt = gather_side(g.u2i, g.u2i_cnt, users)
+    i_hist, i_cnt = gather_side(g.i2u, g.i2u_cnt, cand.reshape(-1))
+    sv = slot_valid_mask(slots, T)
+    return dict(user=users, slot=slots, u_hist=u_hist, u_cnt=u_cnt,
+                cand=cand,
+                i_hist=i_hist.reshape(B, C, T, -1),
+                i_cnt=i_cnt.reshape(B, C, T),
+                slot_valid=sv)

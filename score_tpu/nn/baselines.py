@@ -32,20 +32,33 @@ class MFModel(nn.Module):
     lookup_fn: object = None
     use_pallas_coattn: bool = False
 
-    @nn.compact
-    def __call__(self, batch: dict) -> jnp.ndarray:
+    def setup(self):
         cfg = self.cfg
-        tables = EmbeddingTables(
+        self.tables = EmbeddingTables(
             num_users=self.num_users, num_items=self.num_items,
             dim=cfg.embed_dim, shared=cfg.shared_table, name="tables")
-        eu = tables.user_emb(batch["user"])
-        ei = tables.item_emb(batch["item"])
-        bu = EmbeddingTables(num_users=self.num_users, num_items=0,
-                             dim=1, name="user_bias").user_emb(batch["user"])
-        bi = EmbeddingTables(num_users=0, num_items=self.num_items,
-                             dim=1, name="item_bias").item_emb(batch["item"])
-        b = self.param("bias", nn.initializers.zeros_init(), ())
-        return jnp.sum(eu * ei, axis=-1) + bu[..., 0] + bi[..., 0] + b
+        self.user_bias = EmbeddingTables(
+            num_users=self.num_users, num_items=0, dim=1, name="user_bias")
+        self.item_bias = EmbeddingTables(
+            num_users=0, num_items=self.num_items, dim=1, name="item_bias")
+        self.bias = self.param("bias", nn.initializers.zeros_init(), ())
+
+    def _score(self, user, items):
+        # user: [B], items: [B] or [B, C]
+        eu = self.tables.user_emb(user)
+        ei = self.tables.item_emb(items)
+        bu = self.user_bias.user_emb(user)[..., 0]
+        bi = self.item_bias.item_emb(items)[..., 0]
+        if items.ndim > user.ndim:
+            eu = eu[:, None]
+            bu = bu[:, None]
+        return jnp.sum(eu * ei, axis=-1) + bu + bi + self.bias
+
+    def __call__(self, batch: dict) -> jnp.ndarray:
+        return self._score(batch["user"], batch["item"])
+
+    def score_candidates(self, batch: dict) -> jnp.ndarray:
+        return self._score(batch["user"], batch["cand"])
 
 
 class PopModel(nn.Module):
@@ -57,11 +70,15 @@ class PopModel(nn.Module):
     lookup_fn: object = None
     use_pallas_coattn: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.item_bias = EmbeddingTables(
+            num_users=0, num_items=self.num_items, dim=1, name="item_bias")
+
     def __call__(self, batch: dict) -> jnp.ndarray:
-        bi = EmbeddingTables(num_users=0, num_items=self.num_items,
-                             dim=1, name="item_bias").item_emb(batch["item"])
-        return bi[..., 0]
+        return self.item_bias.item_emb(batch["item"])[..., 0]
+
+    def score_candidates(self, batch: dict) -> jnp.ndarray:
+        return self.item_bias.item_emb(batch["cand"])[..., 0]
 
 
 class SelfAttnEncoder(nn.Module):

@@ -46,25 +46,52 @@ class SlotAttention(nn.Module):
     (configs2: one-hop aggregation with no cross terms).
 
     scores = (E W) . target / sqrt(d);  c_t = softmax(scores)^T E
+
+    Candidates form: the neighbor tensor E may be shared across a target's C
+    candidates (user side: [B, 1, T, k, d]) or per-candidate (item side:
+    [B, C, T, k, d]); the target/query is always [B, C, d]. Keeping the
+    shared side un-tiled is the hot-path optimization — only
+    O(B C T k)-sized score/weight tensors carry the candidate axis.
     """
 
     @nn.compact
     def __call__(self, E: jnp.ndarray, mask: jnp.ndarray,
                  target: jnp.ndarray) -> jnp.ndarray:
-        # E: [B, T, n, d], mask: [B, T, n], target: [B, d] -> [B, T, d]
+        # E: [B, Ce, T, k, d] (Ce in {1, C}), mask: [B, Ce, T, k],
+        # target: [B, C, d] -> [B, C, T, d]
         d = E.shape[-1]
         # zero init => uniform attention at t=0, i.e. this rung starts as
         # exact masked-mean (configs1 behavior) and learns to deviate —
         # random init made richer rungs start worse than simpler ones
         W = self.param("w", nn.initializers.zeros_init(), (d, d))
         # project the target, not the neighbors: (E W) . t == E . (W t), and
-        # W t is O(B d^2) vs O(B T n d^2) — measured 8 ms/step difference
-        # (XLA did not reassociate this on its own)
-        tq = jnp.einsum("de,be->bd", W, target)
-        scores = jnp.einsum("btnd,bd->btn", E, tq) / jnp.sqrt(
-            jnp.asarray(d, E.dtype))
+        # W t is O(B C d^2) vs O(B C T k d^2) (XLA did not reassociate this
+        # on its own; measured 8 ms/step)
+        tq = jnp.einsum("de,bce->bcd", W, target)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d, E.dtype))
+        C = target.shape[1]
+        if E.shape[1] == 1:          # shared across candidates
+            Es, ms = E[:, 0], mask[:, 0]
+            if C <= 8:               # tiny-c einsums lower badly; unroll
+                outs = []
+                for c in range(C):
+                    s_c = jnp.einsum("btkd,bd->btk", Es, tq[:, c]) * scale
+                    a_c = masked_softmax(s_c, ms)
+                    outs.append(jnp.einsum("btk,btkd->btd", a_c, Es))
+                return jnp.stack(outs, 1)
+            scores = jnp.einsum("btkd,bcd->bctk", Es, tq) * scale
+            a = masked_softmax(scores, ms[:, None])
+            return jnp.einsum("bctk,btkd->bctd", a, Es)
+        if C <= 8:
+            outs = []
+            for c in range(C):
+                s_c = jnp.einsum("btkd,bd->btk", E[:, c], tq[:, c]) * scale
+                a_c = masked_softmax(s_c, mask[:, c])
+                outs.append(jnp.einsum("btk,btkd->btd", a_c, E[:, c]))
+            return jnp.stack(outs, 1)
+        scores = jnp.einsum("bctkd,bcd->bctk", E, tq) * scale
         a = masked_softmax(scores, mask)
-        return jnp.einsum("btn,btnd->btd", a, E)
+        return jnp.einsum("bctk,bctkd->bctd", a, E)
 
 
 def cross_coattn_ref(Eu, Ei, mu, mi, Wr, eu, ei, *, pool: str = "sum",
@@ -123,23 +150,87 @@ def cross_coattn_ref(Eu, Ei, mu, mi, Wr, eu, ei, *, pool: str = "sum",
 
 
 class CrossCoAttention(nn.Module):
-    """flax wrapper owning the Wr param around `cross_coattn_ref` (or the
-    Pallas kernel when `use_pallas`)."""
+    """flax module owning the Wr bilinear param; candidates-form forward.
+
+    Inputs: Eu [B,T,n,d] (user side, SHARED across candidates),
+    Ei [B,C,T,m,d], mu [B,T,n], mi [B,C,T,m], eu [B,d], ei [B,C,d].
+    Returns cu, ci: [B,C,T,d].
+
+    For pool='sum' the relation matrix never materializes (identity in
+    `cross_coattn_ref`) and no [B,C,T,n,*]-sized tensor is formed from the
+    shared side — the user tower's big tensors stay candidate-free, which
+    is what makes negatives/eval-candidates cheap. pool='max' and the
+    Pallas kernel need the per-pair form and fall back to tiling.
+    """
 
     pool: str = "sum"
     target_aware: bool = True
     use_pallas: bool = False
+    force_pairflat: bool = False   # benchmark switch: tile + per-pair path
 
     @nn.compact
     def __call__(self, Eu, Ei, mu, mi, eu, ei):
-        d = Eu.shape[-1]
+        B, C = Ei.shape[0], Ei.shape[1]
+        T, n, d = Eu.shape[1], Eu.shape[2], Eu.shape[3]
+        m = Ei.shape[3]
         # zero init: relation scores start at 0 => dual masked-mean
         # aggregation (see SlotAttention note)
         Wr = self.param("wr", nn.initializers.zeros_init(), (d, d))
-        if self.use_pallas:
-            from score_tpu.kernels.coattn import cross_coattn_pallas
-            return cross_coattn_pallas(
-                Eu, Ei, mu, mi, Wr, eu, ei, pool=self.pool,
-                target_aware=self.target_aware)
-        return cross_coattn_ref(Eu, Ei, mu, mi, Wr, eu, ei, pool=self.pool,
-                                target_aware=self.target_aware)
+
+        # C <= 2 (training with 1 negative): tiling + the flat per-pair path
+        # measured marginally faster than candidate-axis einsums; larger C
+        # (ranked eval) must NOT tile — the shared-side saving dominates.
+        if (self.pool != "sum" or self.use_pallas or self.force_pairflat
+                or C <= 2):
+            # per-pair fallback: tile the shared side to [B*C, ...]
+            Eu_f = jnp.broadcast_to(Eu[:, None], (B, C, T, n, d)).reshape(
+                B * C, T, n, d)
+            mu_f = jnp.broadcast_to(mu[:, None], (B, C, T, n)).reshape(
+                B * C, T, n)
+            eu_f = jnp.broadcast_to(eu[:, None], (B, C, d)).reshape(B * C, d)
+            fn = cross_coattn_ref
+            if self.use_pallas:
+                from score_tpu.kernels.coattn import cross_coattn_pallas
+                fn = lambda *a, **k: cross_coattn_pallas(
+                    *a, k["pool"], k["target_aware"])
+            cu, ci = fn(Eu_f, Ei.reshape(B * C, T, m, d), mu_f,
+                        mi.reshape(B * C, T, m), Wr, eu_f,
+                        ei.reshape(B * C, d), pool=self.pool,
+                        target_aware=self.target_aware)
+            return (cu.reshape(B, C, T, d), ci.reshape(B, C, T, d))
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d, Eu.dtype))
+        EuW = jnp.einsum("btnd,de->btne", Eu, Wr)               # [B,T,n,d]
+        muf = mu[..., None].astype(Eu.dtype)
+        mif = mi[..., None].astype(Ei.dtype)
+        Ei_sum = jnp.sum(Ei * mif, axis=3)                      # [B,C,T,d]
+        EuW_sum = jnp.sum(EuW * muf, axis=2)                    # [B,T,d]
+
+        if C <= 8:
+            # Unroll the candidate axis: einsums carrying a tiny c dim lower
+            # to [n,d]@[d,C] batched matmuls (MXU-hostile; profiled ~3x the
+            # cost of the whole aggregation at C=2). Per-candidate 'btnd,
+            # btd->btn' contractions are the fast pre-candidates shapes.
+            sus, sis, cus, cis = [], [], [], []
+            for c in range(C):
+                su_c = jnp.einsum("btnd,btd->btn", EuW, Ei_sum[:, c]) * scale
+                si_c = jnp.einsum("btmd,btd->btm", Ei[:, c], EuW_sum) * scale
+                if self.target_aware:
+                    su_c += jnp.einsum("btnd,bd->btn", Eu, ei[:, c]) * scale
+                    si_c += jnp.einsum("btmd,bd->btm", Ei[:, c], eu) * scale
+                a_c = masked_softmax(su_c, mu)
+                b_c = masked_softmax(si_c, mi[:, c])
+                cus.append(jnp.einsum("btn,btnd->btd", a_c, Eu))
+                cis.append(jnp.einsum("btm,btmd->btd", b_c, Ei[:, c]))
+            return jnp.stack(cus, 1), jnp.stack(cis, 1)
+
+        su = jnp.einsum("btnd,bctd->bctn", EuW, Ei_sum) * scale
+        si = jnp.einsum("bctmd,btd->bctm", Ei, EuW_sum) * scale
+        if self.target_aware:
+            su = su + jnp.einsum("btnd,bcd->bctn", Eu, ei) * scale
+            si = si + jnp.einsum("bctmd,bd->bctm", Ei, eu) * scale
+        a = masked_softmax(su, mu[:, None])                     # [B,C,T,n]
+        b = masked_softmax(si, mi)                              # [B,C,T,m]
+        cu = jnp.einsum("bctn,btnd->bctd", a, Eu)
+        ci = jnp.einsum("bctm,bctmd->bctd", b, Ei)
+        return cu, ci

@@ -65,24 +65,40 @@ class AttnPool(nn.Module):
 
     scores_t = (h_t W) . q / sqrt(dq);  out = sum_t softmax(scores)_t h_t
     All-masked rows pool to exact zero.
+
+    Candidates form: hs may be shared across a target's C candidates
+    ([B, 1, T, f]) or per-candidate ([B, C, T, f]); query is [B, C, dq].
     """
 
     @nn.compact
     def __call__(self, hs: jnp.ndarray, query: jnp.ndarray,
                  mask: jnp.ndarray) -> jnp.ndarray:
-        # hs: [B,T,f], query: [B,dq], mask: [B,T] -> [B,f]
+        # hs: [B,Ch,T,f], query: [B,C,dq], mask: [B,T] -> [B,C,f]
         f = hs.shape[-1]
         dq = query.shape[-1]
         # zero init: pooling starts uniform over valid slots (see the
         # SlotAttention zero-init note in coattn.py)
         W = self.param("w", nn.initializers.zeros_init(), (f, dq))
-        # contract the query through W first: O(B f dq) then O(B T f), not
-        # O(B T f dq) (same reassociation fix as SlotAttention)
-        q = jnp.einsum("fq,bq->bf", W, query)
-        scores = jnp.einsum("btf,bf->bt", hs, q) / jnp.sqrt(
-            jnp.asarray(dq, hs.dtype))
-        a = masked_softmax(scores, mask)
-        return jnp.einsum("bt,btf->bf", a, hs)
+        # contract the query through W first: O(B C f dq) then O(B C T f),
+        # not O(B C T f dq) (same reassociation fix as SlotAttention)
+        q = jnp.einsum("fq,bcq->bcf", W, query)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dq, hs.dtype))
+        C = query.shape[1]
+        if C <= 8:                   # tiny-c einsums lower badly; unroll
+            outs = []
+            for c in range(C):
+                h_c = hs[:, 0] if hs.shape[1] == 1 else hs[:, c]
+                s_c = jnp.einsum("btf,bf->bt", h_c, q[:, c]) * scale
+                a_c = masked_softmax(s_c, mask)
+                outs.append(jnp.einsum("bt,btf->bf", a_c, h_c))
+            return jnp.stack(outs, 1)
+        if hs.shape[1] == 1:         # shared states, per-candidate query
+            scores = jnp.einsum("btf,bcf->bct", hs[:, 0], q) * scale
+            a = masked_softmax(scores, mask[:, None])
+            return jnp.einsum("bct,btf->bcf", a, hs[:, 0])
+        scores = jnp.einsum("bctf,bcf->bct", hs, q) * scale
+        a = masked_softmax(scores, mask[:, None])
+        return jnp.einsum("bct,bctf->bcf", a, hs)
 
 
 def last_pool(hs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

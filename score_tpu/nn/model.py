@@ -7,10 +7,30 @@ ModelConfig flags:
   configs2  sides='dual',  slot_agg='attn',   seq_pool='attn'
   configs3+ sides='dual',  slot_agg='coattn', seq_pool='attn', target_aware
 
-Forward semantics per SURVEY.md §2.4 steps 2-5. Input batch (from
-`score_tpu.graph.gather_batch`):
-  user[B], item[B], slot[B] (t*), u_hist[B,T,n] item ids, u_cnt[B,T],
-  i_hist[B,T,m] user ids, i_cnt[B,T], slot_valid[B,T] (t < t*).
+Forward semantics per SURVEY.md §2.4 steps 2-5.
+
+Two entry points sharing all parameters:
+
+  __call__(batch)            flat (u, i) pairs — batch from
+                             `score_tpu.graph.gather_batch`:
+                             user[B], item[B], slot[B], u_hist[B,T,n],
+                             u_cnt[B,T], i_hist[B,T,m], i_cnt[B,T],
+                             slot_valid[B,T]
+
+  score_candidates(batch)    one user vs C candidate items — the hot path
+                             for sampled-negative training and ranked eval
+                             (batch from `graph.gather_candidate_batch`):
+                             user[B], slot[B], u_hist[B,T,n], u_cnt[B,T],
+                             slot_valid[B,T], cand[B,C], i_hist[B,C,T,m],
+                             i_cnt[B,C,T] -> logits [B,C].
+                             The user side's big tensors (history gather,
+                             neighbor embeddings, and — when the slot
+                             aggregation is candidate-independent — the GRU
+                             states) are computed ONCE per user, not per
+                             candidate: profiling showed embedding gathers
+                             + their scatter-add grads are ~70% of a train
+                             step, and negatives/candidates duplicated all
+                             of it.
 """
 
 from __future__ import annotations
@@ -29,8 +49,9 @@ from .scorer import Scorer
 
 def _nbr_mask(cnt: jnp.ndarray, fanout: int,
               slot_valid: jnp.ndarray) -> jnp.ndarray:
-    """[B,T,k] bool: neighbor j of slot t valid iff j < cnt[t] and t < t*."""
-    j = jnp.arange(fanout, dtype=cnt.dtype)[None, None, :]
+    """[..., T, k] bool: neighbor j of slot t valid iff j < cnt and t < t*."""
+    j = jnp.arange(fanout, dtype=cnt.dtype)
+    j = j.reshape((1,) * cnt.ndim + (-1,))
     return (j < cnt[..., None]) & slot_valid[..., None]
 
 
@@ -43,66 +64,121 @@ class ScoreModel(nn.Module):
     lookup_fn: Optional[LookupFn] = None
     use_pallas_coattn: bool = False
 
-    @nn.compact
-    def __call__(self, batch: dict) -> jnp.ndarray:
+    def setup(self):
         cfg = self.cfg
-        cdt = jnp.dtype(cfg.compute_dtype)
-        tables = EmbeddingTables(
+        self.tables = EmbeddingTables(
             num_users=self.num_users, num_items=self.num_items,
             dim=cfg.embed_dim, shared=cfg.shared_table,
             param_dtype=cfg.param_dtype, lookup_fn=self.lookup_fn,
             name="tables")
-
-        eu = tables.user_emb(batch["user"]).astype(cdt)          # [B, d]
-        ei = tables.item_emb(batch["item"]).astype(cdt)          # [B, d]
-        sv = batch["slot_valid"]                                 # [B, T]
-
-        # --- user side: neighbors are items the user touched per slot ---
-        Eu = tables.item_emb(batch["u_hist"]).astype(cdt)        # [B,T,n,d]
-        mu = _nbr_mask(batch["u_cnt"], Eu.shape[2], sv)
-
         dual = cfg.sides == "dual"
-        if dual:
-            Ei = tables.user_emb(batch["i_hist"]).astype(cdt)    # [B,T,m,d]
-            mi = _nbr_mask(batch["i_cnt"], Ei.shape[2], sv)
-
-        # --- per-slot aggregation (SURVEY.md §2.4 step 3) ---
         if cfg.slot_agg == "coattn":
-            assert dual, "co-attention requires both sides"
-            cu, ci = CrossCoAttention(
+            self.coattn = CrossCoAttention(
                 pool=cfg.coattn_pool, target_aware=cfg.target_aware,
-                use_pallas=self.use_pallas_coattn, name="coattn")(
-                    Eu, Ei, mu, mi, eu, ei)
+                use_pallas=self.use_pallas_coattn, name="coattn")
         elif cfg.slot_agg == "attn":
-            cu = SlotAttention(name="slot_attn_u")(Eu, mu, ei)
+            self.slot_attn_u = SlotAttention(name="slot_attn_u")
             if dual:
-                ci = SlotAttention(name="slot_attn_i")(Ei, mi, eu)
-        else:  # mean
-            cu = slot_mean(Eu, mu)
-            if dual:
-                ci = slot_mean(Ei, mi)
+                self.slot_attn_i = SlotAttention(name="slot_attn_i")
 
-        # --- sequence encoding (step 4) ---
         def encoder(name):
             if cfg.seq_encoder == "selfattn":
                 from .baselines import SelfAttnEncoder
                 return SelfAttnEncoder(features=cfg.hidden_dim, name=name)
             return GRU(features=cfg.hidden_dim, name=name)
 
-        hu_seq = encoder("gru_u")(cu, sv)
-        if cfg.seq_pool == "attn":
-            h_u = AttnPool(name="pool_u")(hu_seq, ei, sv)
-        else:
-            h_u = last_pool(hu_seq, sv)
-
-        feats = [h_u, eu, ei, eu * ei]
+        self.gru_u = encoder("gru_u")
         if dual:
-            hi_seq = encoder("gru_i")(ci, sv)
+            self.gru_i = encoder("gru_i")
+        if cfg.seq_pool == "attn":
+            self.pool_u = AttnPool(name="pool_u")
+            if dual:
+                self.pool_i = AttnPool(name="pool_i")
+        self.scorer = Scorer(mlp_dims=tuple(cfg.mlp_dims), name="scorer")
+
+    # --- flat (u, i) pairs: candidates form with C == 1 ---
+
+    def __call__(self, batch: dict) -> jnp.ndarray:
+        cb = dict(
+            user=batch["user"], slot=batch["slot"],
+            u_hist=batch["u_hist"], u_cnt=batch["u_cnt"],
+            slot_valid=batch["slot_valid"],
+            cand=batch["item"][:, None],
+            i_hist=batch["i_hist"][:, None],
+            i_cnt=batch["i_cnt"][:, None])
+        return self.score_candidates(cb)[:, 0]
+
+    # --- the hot path: one user vs C candidates ---
+
+    def score_candidates(self, batch: dict) -> jnp.ndarray:
+        cfg = self.cfg
+        cdt = jnp.dtype(cfg.compute_dtype)
+        dual = cfg.sides == "dual"
+
+        eu = self.tables.user_emb(batch["user"]).astype(cdt)     # [B, d]
+        ei = self.tables.item_emb(batch["cand"]).astype(cdt)     # [B, C, d]
+        sv = batch["slot_valid"]                                 # [B, T]
+        B, C = ei.shape[0], ei.shape[1]
+        T = sv.shape[1]
+
+        # user side: shared across candidates
+        Eu = self.tables.item_emb(batch["u_hist"]).astype(cdt)   # [B,T,n,d]
+        mu = _nbr_mask(batch["u_cnt"], Eu.shape[2], sv)          # [B,T,n]
+
+        if dual:
+            Ei = self.tables.user_emb(batch["i_hist"]).astype(cdt)
+            mi = _nbr_mask(batch["i_cnt"], Ei.shape[3],
+                           sv[:, None])                          # [B,C,T,m]
+            eu_c = jnp.broadcast_to(eu[:, None], (B, C, eu.shape[-1]))
+
+        # --- per-slot aggregation (SURVEY.md §2.4 step 3) ---
+        cu_shared = None        # [B,T,d] when candidate-independent
+        if cfg.slot_agg == "coattn":
+            assert dual, "co-attention requires both sides"
+            cu, ci = self.coattn(Eu, Ei, mu, mi, eu, ei)         # [B,C,T,d]
+        elif cfg.slot_agg == "attn":
+            cu = self.slot_attn_u(Eu[:, None], mu[:, None], ei)  # [B,C,T,d]
+            if dual:
+                ci = self.slot_attn_i(Ei, mi, eu_c)
+        else:  # mean — candidate-independent on the user side
+            cu_shared = slot_mean(Eu, mu)                        # [B,T,d]
+            if dual:
+                ci = slot_mean(Ei, mi)                           # [B,C,T,d]
+
+        # --- sequence encoding (step 4) ---
+        if cu_shared is not None:
+            hu_seq = self.gru_u(cu_shared, sv)[:, None]          # [B,1,T,f]
+        else:
+            hu_seq = self.gru_u(
+                cu.reshape(B * C, T, -1),
+                jnp.broadcast_to(sv[:, None], (B, C, T)).reshape(B * C, T)
+            ).reshape(B, C, T, -1)
+        if cfg.seq_pool == "attn":
+            h_u = self.pool_u(hu_seq, ei, sv)                    # [B,C,f]
+        else:
+            hl = last_pool(hu_seq.reshape(-1, T, hu_seq.shape[-1]),
+                           jnp.broadcast_to(
+                               sv[:, None], (B, hu_seq.shape[1], T)
+                           ).reshape(-1, T))
+            h_u = hl.reshape(B, hu_seq.shape[1], -1)
+            if h_u.shape[1] == 1:
+                h_u = jnp.broadcast_to(h_u, (B, C, h_u.shape[-1]))
+
+        eu_b = jnp.broadcast_to(eu[:, None], ei.shape)
+        feats = [h_u, eu_b, ei, eu_b * ei]
+        if dual:
+            hi_seq = self.gru_i(
+                ci.reshape(B * C, T, -1),
+                jnp.broadcast_to(sv[:, None], (B, C, T)).reshape(B * C, T)
+            ).reshape(B, C, T, -1)
             if cfg.seq_pool == "attn":
-                h_i = AttnPool(name="pool_i")(hi_seq, eu, sv)
+                h_i = self.pool_i(hi_seq, eu_c, sv)
             else:
-                h_i = last_pool(hi_seq, sv)
-            feats = [h_u, h_i, eu, ei, h_u * h_i, eu * ei]
+                h_i = last_pool(
+                    hi_seq.reshape(B * C, T, -1),
+                    jnp.broadcast_to(sv[:, None], (B, C, T)).reshape(B * C, T)
+                ).reshape(B, C, -1)
+            feats = [h_u, h_i, eu_b, ei, h_u * h_i, eu_b * ei]
 
         # --- interaction scorer (step 5) ---
-        return Scorer(mlp_dims=tuple(cfg.mlp_dims), name="scorer")(feats)
+        return self.scorer(feats)                                # [B, C]

@@ -25,7 +25,8 @@ from flax.training import train_state
 from .config import PRESETS, Config, apply_overrides
 from .data.pipeline import TargetIterator
 from .data.schema import Dataset
-from .graph import DeviceGraph, device_graph, gather_batch
+from .graph import (DeviceGraph, device_graph, gather_batch,
+                    gather_candidate_batch)
 from .metrics import auc as auc_fn
 from .metrics import ranking_metrics
 from .nn.model import ScoreModel
@@ -86,26 +87,28 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config) -> Callable:
         u, i, t = batch["user"], batch["item"], batch["slot"]
         B = u.shape[0]
         step_rng = jax.random.fold_in(rng, state.step)
-        neg = jax.random.randint(step_rng, (k, B), 1, num_items + 1,
+        neg = jax.random.randint(step_rng, (B, k), 1, num_items + 1,
                                  dtype=u.dtype)
-        neg = _resample_collisions(neg, i[None, :], num_items).reshape(-1)
+        neg = _resample_collisions(neg, i[:, None], num_items)
 
-        users = jnp.concatenate([u, jnp.tile(u, k)])
-        items = jnp.concatenate([i, neg])
-        slots = jnp.concatenate([t, jnp.tile(t, k)])
+        # candidates form: [positive | k negatives] per user — the user-side
+        # gather/embed/grad runs once per user, not (1+k) times
+        cand = jnp.concatenate([i[:, None], neg], axis=1)        # [B, 1+k]
         labels = jnp.concatenate(
-            [jnp.ones((B,), jnp.float32), jnp.zeros((B * k,), jnp.float32)])
-        mb = gather_batch(graph, users, items, slots)
+            [jnp.ones((B, 1), jnp.float32),
+             jnp.zeros((B, k), jnp.float32)], axis=1)
+        mb = gather_candidate_batch(graph, u, cand, t)
 
         def loss_fn(params):
-            logits = model.apply({"params": params}, mb)
+            logits = model.apply({"params": params}, mb,
+                                 method=model.score_candidates)
             loss = bce_loss(logits, labels)
             reg = l2 * _table_l2(params) if l2 > 0 else 0.0
             return loss + reg, (loss, logits)
 
         grads, (loss, logits) = jax.grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
-        batch_auc = auc_fn(logits, labels)
+        batch_auc = auc_fn(logits.reshape(-1), labels.reshape(-1))
         return new_state, {"loss": loss, "batch_auc": batch_auc}
 
     return train_step
@@ -151,16 +154,14 @@ def _stack_batches(it, k: int):
 def make_eval_step(model: ScoreModel) -> Callable:
     @jax.jit
     def eval_step(params, graph: DeviceGraph, batch: Dict[str, jnp.ndarray]):
-        """Score each positive against its fixed negatives -> [B, 1+N]."""
+        """Score each positive against its fixed negatives -> [B, 1+N].
+        Candidates form: user-side work is per-user, not per-candidate."""
         u, i, t, neg = (batch["user"], batch["item"], batch["slot"],
                         batch["neg"])
-        B, N = neg.shape
         cand = jnp.concatenate([i[:, None], neg], axis=1)       # [B, 1+N]
-        users = jnp.repeat(u, 1 + N)
-        slots = jnp.repeat(t, 1 + N)
-        mb = gather_batch(graph, users, cand.reshape(-1), slots)
-        logits = model.apply({"params": params}, mb)
-        return logits.reshape(B, 1 + N)
+        mb = gather_candidate_batch(graph, u, cand, t)
+        return model.apply({"params": params}, mb,
+                           method=model.score_candidates)
 
     return eval_step
 

@@ -62,31 +62,41 @@ def test_gru_masked_steps_carry_state(rng):
 
 
 def test_attn_pool_masked(rng):
-    B, T, f, dq = 3, 5, 6, 4
-    hs = rng.normal(size=(B, T, f)).astype(np.float32)
-    q = rng.normal(size=(B, dq)).astype(np.float32)
+    # candidates form: hs [B,1,T,f] shared, query [B,C,dq]
+    B, C, T, f, dq = 3, 2, 5, 6, 4
+    hs = rng.normal(size=(B, 1, T, f)).astype(np.float32)
+    q = rng.normal(size=(B, C, dq)).astype(np.float32)
     mask = np.ones((B, T), dtype=bool)
     mask[1, 2:] = False
     mask[2] = False
     pool = AttnPool()
     params = pool.init(jax.random.PRNGKey(0), jnp.asarray(hs),
                        jnp.asarray(q), jnp.asarray(mask))
+    # zero-init W -> replace with random for a meaningful numpy check
+    W = rng.normal(size=(f, dq)).astype(np.float32)
+    params = {"params": {"w": jnp.asarray(W)}}
     out = np.asarray(pool.apply(params, jnp.asarray(hs), jnp.asarray(q),
                                 jnp.asarray(mask)))
+    assert out.shape == (B, C, f)
     assert np.all(out[2] == 0.0)                       # all-masked -> zero
-    # numpy check for row 1 (2 valid slots)
-    W = np.asarray(params["params"]["w"])
-    scores = (hs[1] @ W @ q[1]) / np.sqrt(dq)
+    # numpy check for row 1, candidate 0 (2 valid slots)
+    scores = (hs[1, 0] @ W @ q[1, 0]) / np.sqrt(dq)
     v = scores[:2]
     e = np.exp(v - v.max())
     a = e / e.sum()
-    np.testing.assert_allclose(out[1], a @ hs[1, :2], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[1, 0], a @ hs[1, 0, :2],
+                               rtol=1e-4, atol=1e-5)
     # padded values must not affect the pooled output
     hs2 = hs.copy()
-    hs2[1, 2:] = 1e3
+    hs2[1, :, 2:] = 1e3
     out2 = np.asarray(pool.apply(params, jnp.asarray(hs2), jnp.asarray(q),
                                  jnp.asarray(mask)))
     np.testing.assert_allclose(out[1], out2[1], atol=1e-5)
+    # per-candidate hs path agrees with shared path on tiled input
+    hs_t = np.broadcast_to(hs, (B, C, T, f))
+    out3 = np.asarray(pool.apply(params, jnp.asarray(hs_t), jnp.asarray(q),
+                                 jnp.asarray(mask)))
+    np.testing.assert_allclose(out, out3, rtol=1e-5, atol=1e-6)
 
 
 def test_last_pool(rng):
