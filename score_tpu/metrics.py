@@ -70,4 +70,10 @@ def ranking_metrics(pos_scores: jnp.ndarray, neg_scores: jnp.ndarray,
         ndcg = jnp.where(rank <= k, 1.0 / jnp.log2(1.0 + rank), 0.0)
         out[f"ndcg@{k}"] = jnp.sum(ndcg * w) / denom
     out["mrr"] = jnp.sum(w / rank) / denom
+    # per-target (grouped) AUC, a.k.a. GAUC: with one positive vs N sampled
+    # negatives, the group's AUC is the fraction of negatives ranked below
+    # it (ties count half). The reference's AUC may be pooled or per-user
+    # (SURVEY.md Appendix B item 5) — we report both.
+    N = neg_scores.shape[1]
+    out["gauc"] = jnp.sum((1.0 - (rank - 1.0) / N) * w) / denom
     return out

@@ -262,18 +262,37 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
             if verbose:
                 print(f"resumed from step {step} "
                       f"(best val auc {best['val_auc']:.4f})", flush=True)
+    # Fuse K steps per dispatch (lax.scan) whenever no logging/eval boundary
+    # falls inside the chunk — per-call dispatch latency through the device
+    # tunnel otherwise dominates the step time (BASELINE.md caveat).
+    train_loop = make_train_loop(model, cfg) if mesh is None else None
+
+    def _next_boundary(s):
+        nxt = [total_steps]
+        for period in (eval_every, cfg.train.log_every_steps):
+            if period < 10 ** 8:
+                nxt.append((s // period + 1) * period)
+        return min(nxt)
+
     profiling = False
     while step < total_steps:
-        batch = next(it)
-        state, m = train_step(
-            state, graph, {k: put(v) for k, v in batch.items()}, rng)
-        step += 1
+        chunk = min(_next_boundary(step) - step, 50)
+        if train_loop is not None and chunk > 1 and not cfg.train.profile_dir:
+            stacked = _stack_batches(it, chunk)
+            state, ms = train_loop(state, graph, stacked, rng)
+            m = {k: v[-1] for k, v in ms.items()}
+            step += chunk
+        else:
+            batch = next(it)
+            state, m = train_step(
+                state, graph, {k: put(v) for k, v in batch.items()}, rng)
+            step += 1
         if cfg.train.profile_dir:
             # trace steps 10..30 (past compile, short enough to inspect)
-            if step == 10 and not profiling:
+            if step >= 10 and not profiling:
                 jax.profiler.start_trace(cfg.train.profile_dir)
                 profiling = True
-            elif step == 30 and profiling:
+            elif step >= 30 and profiling:
                 jax.profiler.stop_trace()
                 profiling = False
         if verbose and step % cfg.train.log_every_steps == 0:
