@@ -42,7 +42,7 @@ class ModelConfig:
     seq_pool: str = "attn"         # 'last' | 'attn'
     shared_table: bool = False     # one table over users+items (configs0)
     target_aware: bool = True      # add Eu_t·ei / Ei_t·eu pre-softmax terms
-    coattn_pool: str = "sum"       # 'sum' | 'max' pooling of the relation matrix
+    coattn_pool: str = "sum"       # 'sum' | 'mean' | 'max' relation-matrix pool
     dropout: float = 0.0
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 for TPU perf configs
@@ -53,7 +53,7 @@ class ModelConfig:
         assert self.slot_agg in ("mean", "attn", "coattn"), self.slot_agg
         assert self.seq_encoder in ("gru", "selfattn"), self.seq_encoder
         assert self.seq_pool in ("last", "attn"), self.seq_pool
-        assert self.coattn_pool in ("sum", "max"), self.coattn_pool
+        assert self.coattn_pool in ("sum", "mean", "max"), self.coattn_pool
 
 
 @dataclasses.dataclass(frozen=True)

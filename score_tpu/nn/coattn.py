@@ -114,7 +114,7 @@ def cross_coattn_ref(Eu, Ei, mu, mi, Wr, eu, ei, *, pool: str = "sum",
     d = Eu.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, Eu.dtype))
 
-    if pool == "sum":
+    if pool in ("sum", "mean"):
         # Sum-pooling never needs the relation matrix: pooled user-side
         # scores are su_i = sum_j mask_j (Eu_i Wr) . Ei_j
         #             = (Eu_i Wr) . (sum_j mask_j Ei_j),
@@ -122,9 +122,19 @@ def cross_coattn_ref(Eu, Ei, mu, mi, Wr, eu, ei, *, pool: str = "sum",
         # at n,m ~ 10) to O(B T (n+m) d). Exact same math as materializing
         # M = Eu Wr Ei^T and masked-summing it; rows with mu_i = 0 differ
         # pre-softmax but are zeroed by the masked softmax either way.
+        # 'mean' divides by the opposite side's valid count — sum-pooled
+        # scores otherwise scale with neighbor count, distorting the softmax
+        # temperature across slots.
         EuW = jnp.einsum("btnd,de->btne", Eu, Wr)
         Ei_sum = jnp.sum(Ei * mi[..., None].astype(Ei.dtype), axis=-2)
         EuW_sum = jnp.sum(EuW * mu[..., None].astype(Eu.dtype), axis=-2)
+        if pool == "mean":
+            mi_cnt = jnp.maximum(
+                jnp.sum(mi.astype(Ei.dtype), axis=-1, keepdims=True), 1.0)
+            mu_cnt = jnp.maximum(
+                jnp.sum(mu.astype(Eu.dtype), axis=-1, keepdims=True), 1.0)
+            Ei_sum = Ei_sum / mi_cnt
+            EuW_sum = EuW_sum / mu_cnt
         su = jnp.einsum("btnd,btd->btn", EuW, Ei_sum) * scale
         si = jnp.einsum("btmd,btd->btm", Ei, EuW_sum) * scale
     else:  # max
@@ -180,8 +190,8 @@ class CrossCoAttention(nn.Module):
         # C <= 2 (training with 1 negative): tiling + the flat per-pair path
         # measured marginally faster than candidate-axis einsums; larger C
         # (ranked eval) must NOT tile — the shared-side saving dominates.
-        if (self.pool != "sum" or self.use_pallas or self.force_pairflat
-                or C <= 2):
+        if (self.pool not in ("sum", "mean") or self.use_pallas
+                or self.force_pairflat or C <= 2):
             # per-pair fallback: tile the shared side to [B*C, ...]
             Eu_f = jnp.broadcast_to(Eu[:, None], (B, C, T, n, d)).reshape(
                 B * C, T, n, d)
@@ -205,6 +215,9 @@ class CrossCoAttention(nn.Module):
         mif = mi[..., None].astype(Ei.dtype)
         Ei_sum = jnp.sum(Ei * mif, axis=3)                      # [B,C,T,d]
         EuW_sum = jnp.sum(EuW * muf, axis=2)                    # [B,T,d]
+        if self.pool == "mean":
+            Ei_sum = Ei_sum / jnp.maximum(jnp.sum(mif, axis=3), 1.0)
+            EuW_sum = EuW_sum / jnp.maximum(jnp.sum(muf, axis=2), 1.0)
 
         if C <= 8:
             # Unroll the candidate axis: einsums carrying a tiny c dim lower

@@ -18,6 +18,7 @@ CASES = [
     ("configs2", {}),
     ("configs3", {}),
     ("configs3", {"coattn_pool": "max"}),
+    ("configs3", {"coattn_pool": "mean"}),
     ("configs3", {"target_aware": False}),
     ("configs3", {"seq_pool": "last"}),
     ("configs1", {"seq_pool": "last"}),

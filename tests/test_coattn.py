@@ -38,10 +38,13 @@ def np_cross_coattn(Eu, Ei, mu, mi, Wr, eu, ei, pool="sum",
         for t in range(T):
             M = Eu[b, t] @ Wr @ Ei[b, t].T * scale     # [n, m]
             pm = mu[b, t][:, None] & mi[b, t][None, :]
-            if pool == "sum":
+            if pool in ("sum", "mean"):
                 Mm = np.where(pm, M, 0.0)
                 su = Mm.sum(axis=1)
                 si = Mm.sum(axis=0)
+                if pool == "mean":
+                    su = su / max(mi[b, t].sum(), 1)
+                    si = si / max(mu[b, t].sum(), 1)
             else:
                 Mm = np.where(pm, M, -1e9)
                 su = Mm.max(axis=1)
@@ -76,7 +79,7 @@ def _rand_inputs(rng, B=3, T=4, n=5, m=6, d=8, pad_frac=0.4):
     return Eu, Ei, mu, mi, Wr, eu, ei
 
 
-@pytest.mark.parametrize("pool", ["sum", "max"])
+@pytest.mark.parametrize("pool", ["sum", "mean", "max"])
 @pytest.mark.parametrize("target_aware", [True, False])
 def test_cross_coattn_vs_numpy(rng, pool, target_aware):
     Eu, Ei, mu, mi, Wr, eu, ei = _rand_inputs(rng)
