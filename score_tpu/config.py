@@ -32,13 +32,14 @@ class ModelConfig:
                the opposite target embedding as query (paper §3.4).
     """
 
-    arch: str = "score"            # 'score' | 'mf' | 'pop' (baselines)
+    arch: str = "score"   # 'score' | baselines: 'mf' 'svdpp' 'pop' 'delf'
     embed_dim: int = 16
     hidden_dim: int = 32
     mlp_dims: tuple = (64, 32)
     sides: str = "dual"            # 'user' | 'dual'
     slot_agg: str = "coattn"       # 'mean' | 'attn' | 'coattn'
     seq_encoder: str = "gru"       # 'gru' | 'selfattn' (SASRec-style)
+                                   #       | 'caser' (causal-CNN, Caser-style)
     seq_pool: str = "attn"         # 'last' | 'attn'
     shared_table: bool = False     # one table over users+items (configs0)
     target_aware: bool = True      # add Eu_t·ei / Ei_t·eu pre-softmax terms
@@ -48,10 +49,11 @@ class ModelConfig:
     compute_dtype: str = "float32"  # bfloat16 for TPU perf configs
 
     def __post_init__(self):
-        assert self.arch in ("score", "mf", "pop"), self.arch
+        assert self.arch in ("score", "mf", "svdpp", "pop", "delf"), self.arch
         assert self.sides in ("user", "dual"), self.sides
         assert self.slot_agg in ("mean", "attn", "coattn"), self.slot_agg
-        assert self.seq_encoder in ("gru", "selfattn"), self.seq_encoder
+        assert self.seq_encoder in ("gru", "selfattn", "caser"), \
+            self.seq_encoder
         assert self.seq_pool in ("last", "attn"), self.seq_pool
         assert self.coattn_pool in ("sum", "mean", "max"), self.coattn_pool
 
@@ -170,12 +172,42 @@ def configs4(num_data: int = 2, num_rows: int = 4) -> Config:
         num_data=num_data, num_rows=num_rows, lookup_mode="a2a"))
 
 
+def _baseline(model_kw) -> Config:
+    return _cfg(model_kw, dict(dataset="taobao"))
+
+
+# The reference's baseline-model roster (SURVEY.md §2.3 #14, paper §4.2):
+# classical MF (MF, SVD++), single-side sequential (GRU4Rec-, Caser-,
+# SASRec-style), dual-side non/recurrent (DELF-, RRN-style). The sequential
+# entries are flag combos of ScoreModel itself; mf/svdpp/pop/delf are
+# dedicated archs in score_tpu.nn.baselines. All share the train/eval
+# protocol, so `python -m score_tpu.train baseline_<name>` just works.
+BASELINE_PRESETS = {
+    "baseline_pop": lambda: _baseline(dict(arch="pop")),
+    "baseline_mf": lambda: _baseline(dict(arch="mf")),
+    "baseline_svdpp": lambda: _baseline(dict(arch="svdpp")),
+    "baseline_delf": lambda: _baseline(dict(arch="delf")),
+    "baseline_gru4rec": lambda: _baseline(
+        dict(sides="user", slot_agg="mean", seq_pool="last",
+             target_aware=False)),
+    "baseline_caser": lambda: _baseline(
+        dict(sides="user", slot_agg="mean", seq_encoder="caser",
+             seq_pool="last", target_aware=False)),
+    "baseline_sasrec": lambda: _baseline(
+        dict(sides="user", slot_agg="mean", seq_encoder="selfattn",
+             seq_pool="last", target_aware=False)),
+    "baseline_rrn": lambda: _baseline(
+        dict(sides="dual", slot_agg="mean", seq_pool="last",
+             target_aware=False)),
+}
+
 PRESETS = {
     "configs0": configs0,
     "configs1": configs1,
     "configs2": configs2,
     "configs3": configs3,
     "configs4": configs4,
+    **BASELINE_PRESETS,
 }
 
 

@@ -25,12 +25,18 @@ _NEG = -1e9
 
 
 def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Softmax over the last axis; rows with no valid entry give all-zeros."""
-    scores = jnp.where(mask, scores, _NEG)
+    """Softmax over the last axis; rows with no valid entry give all-zeros.
+
+    Internals run in f32 regardless of input dtype (bf16 exp/normalize loses
+    attention mass precision); the result is cast back so mixed-precision
+    callers keep a bf16 activation chain.
+    """
+    dt = scores.dtype
+    scores = jnp.where(mask, scores.astype(jnp.float32), _NEG)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores) * mask
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    return e / jnp.maximum(denom, 1e-20)
+    return (e / jnp.maximum(denom, 1e-20)).astype(dt)
 
 
 def slot_mean(E: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -64,6 +70,7 @@ class SlotAttention(nn.Module):
         # exact masked-mean (configs1 behavior) and learns to deviate —
         # random init made richer rungs start worse than simpler ones
         W = self.param("w", nn.initializers.zeros_init(), (d, d))
+        W = W.astype(E.dtype)    # f32 master param, compute-dtype activations
         # project the target, not the neighbors: (E W) . t == E . (W t), and
         # W t is O(B C d^2) vs O(B C T k d^2) (XLA did not reassociate this
         # on its own; measured 8 ms/step)
@@ -186,6 +193,7 @@ class CrossCoAttention(nn.Module):
         # zero init: relation scores start at 0 => dual masked-mean
         # aggregation (see SlotAttention note)
         Wr = self.param("wr", nn.initializers.zeros_init(), (d, d))
+        Wr = Wr.astype(Eu.dtype)  # f32 master param, compute-dtype activations
 
         # C <= 2 (training with 1 negative): tiling + the flat per-pair path
         # measured marginally faster than candidate-axis einsums; larger C

@@ -33,9 +33,10 @@ class GRU(nn.Module):
         B, T, d = xs.shape
         f = self.features
         dense_init = nn.initializers.lecun_normal()
-        Wx = self.param("wx", dense_init, (d, 3 * f))
-        Wh = self.param("wh", dense_init, (f, 3 * f))
-        b = self.param("b", nn.initializers.zeros_init(), (3 * f,))
+        Wx = self.param("wx", dense_init, (d, 3 * f)).astype(xs.dtype)
+        Wh = self.param("wh", dense_init, (f, 3 * f)).astype(xs.dtype)
+        b = self.param("b", nn.initializers.zeros_init(),
+                       (3 * f,)).astype(xs.dtype)
 
         # Hoist the input projection out of the scan: one big [B*T, d]x[d, 3f]
         # MXU matmul instead of T small ones.
@@ -79,6 +80,7 @@ class AttnPool(nn.Module):
         # zero init: pooling starts uniform over valid slots (see the
         # SlotAttention zero-init note in coattn.py)
         W = self.param("w", nn.initializers.zeros_init(), (f, dq))
+        W = W.astype(hs.dtype)   # f32 master param, compute-dtype activations
         # contract the query through W first: O(B C f dq) then O(B C T f),
         # not O(B C T f dq) (same reassociation fix as SlotAttention)
         q = jnp.einsum("fq,bcq->bcf", W, query)

@@ -85,6 +85,9 @@ class ScoreModel(nn.Module):
             if cfg.seq_encoder == "selfattn":
                 from .baselines import SelfAttnEncoder
                 return SelfAttnEncoder(features=cfg.hidden_dim, name=name)
+            if cfg.seq_encoder == "caser":
+                from .baselines import CaserEncoder
+                return CaserEncoder(features=cfg.hidden_dim, name=name)
             return GRU(features=cfg.hidden_dim, name=name)
 
         self.gru_u = encoder("gru_u")
@@ -94,11 +97,13 @@ class ScoreModel(nn.Module):
             self.pool_u = AttnPool(name="pool_u")
             if dual:
                 self.pool_i = AttnPool(name="pool_i")
-        self.scorer = Scorer(mlp_dims=tuple(cfg.mlp_dims), name="scorer")
+        self.scorer = Scorer(mlp_dims=tuple(cfg.mlp_dims),
+                             dropout=cfg.dropout, dtype=cfg.compute_dtype,
+                             name="scorer")
 
     # --- flat (u, i) pairs: candidates form with C == 1 ---
 
-    def __call__(self, batch: dict) -> jnp.ndarray:
+    def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
         cb = dict(
             user=batch["user"], slot=batch["slot"],
             u_hist=batch["u_hist"], u_cnt=batch["u_cnt"],
@@ -106,11 +111,11 @@ class ScoreModel(nn.Module):
             cand=batch["item"][:, None],
             i_hist=batch["i_hist"][:, None],
             i_cnt=batch["i_cnt"][:, None])
-        return self.score_candidates(cb)[:, 0]
+        return self.score_candidates(cb, train=train)[:, 0]
 
     # --- the hot path: one user vs C candidates ---
 
-    def score_candidates(self, batch: dict) -> jnp.ndarray:
+    def score_candidates(self, batch: dict, train: bool = False) -> jnp.ndarray:
         cfg = self.cfg
         cdt = jnp.dtype(cfg.compute_dtype)
         dual = cfg.sides == "dual"
@@ -181,4 +186,4 @@ class ScoreModel(nn.Module):
             feats = [h_u, h_i, eu_b, ei, h_u * h_i, eu_b * ei]
 
         # --- interaction scorer (step 5) ---
-        return self.scorer(feats)                                # [B, C]
+        return self.scorer(feats, train=train)                   # [B, C]

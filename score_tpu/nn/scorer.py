@@ -16,17 +16,28 @@ import optax
 
 
 class Scorer(nn.Module):
-    """MLP interaction head over a list of feature vectors."""
+    """MLP interaction head over a list of feature vectors.
+
+    Dropout (when rate > 0 and train=True) follows each hidden activation —
+    the reference-era CTR regularization knob; requires an apply-time
+    rngs={'dropout': key}.
+    """
 
     mlp_dims: Sequence[int] = (64, 32)
+    dropout: float = 0.0
+    dtype: str = "float32"   # hidden-layer compute dtype; logits always f32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
-        x = jnp.concatenate(list(feats), axis=-1)
+    def __call__(self, feats: Sequence[jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
+        cdt = jnp.dtype(self.dtype)
+        x = jnp.concatenate([f.astype(cdt) for f in feats], axis=-1)
         for i, w in enumerate(self.mlp_dims):
-            x = nn.Dense(w, name=f"mlp_{i}")(x)
+            x = nn.Dense(w, name=f"mlp_{i}", dtype=cdt)(x)
             x = nn.relu(x)
-        logit = nn.Dense(1, name="out")(x)
+            x = nn.Dropout(self.dropout, name=f"drop_{i}")(
+                x, deterministic=not train)
+        logit = nn.Dense(1, name="out", dtype=jnp.float32)(x)
         return jnp.squeeze(logit, axis=-1)
 
 

@@ -40,8 +40,9 @@ class TrainState(train_state.TrainState):
 def build_model(cfg: Config, num_users: int, num_items: int,
                 lookup_fn=None, use_pallas_coattn: bool = False):
     if cfg.model.arch != "score":
-        from .nn.baselines import MFModel, PopModel
-        cls = {"mf": MFModel, "pop": PopModel}[cfg.model.arch]
+        from .nn.baselines import DELFModel, MFModel, PopModel, SVDPPModel
+        cls = {"mf": MFModel, "pop": PopModel, "svdpp": SVDPPModel,
+               "delf": DELFModel}[cfg.model.arch]
     else:
         cls = ScoreModel
     return cls(cfg=cfg.model, num_users=num_users, num_items=num_items,
@@ -100,8 +101,10 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config) -> Callable:
         mb = gather_candidate_batch(graph, u, cand, t)
 
         def loss_fn(params):
-            logits = model.apply({"params": params}, mb,
-                                 method=model.score_candidates)
+            logits = model.apply({"params": params}, mb, train=True,
+                                 method=model.score_candidates,
+                                 rngs={"dropout": jax.random.fold_in(
+                                     step_rng, 1)})
             loss = bce_loss(logits, labels)
             reg = l2 * _table_l2(params) if l2 > 0 else 0.0
             return loss + reg, (loss, logits)

@@ -2,7 +2,12 @@
 report per-rung metrics — the ablation-monotonicity oracle of SURVEY.md §4.1:
 each rung should improve validation AUC over the previous.
 
-Usage: python scripts/ladder.py [out_json] [dataset] [epochs]
+With --baselines, also runs the reference's baseline-model roster
+(SURVEY.md §2.3 #14: pop/MF/SVD++/GRU4Rec/Caser/SASRec/RRN/DELF-style) under
+the identical train/eval protocol — the paper-§4.3-style comparison table
+where full SCoRe (configs3) should lead.
+
+Usage: python scripts/ladder.py [out_json] [dataset] [epochs] [--baselines]
 """
 
 import json
@@ -11,15 +16,17 @@ import time
 
 sys.path.insert(0, ".")
 
-from score_tpu.config import PRESETS
-from score_tpu.data.prep_datasets import PREP
+from score_tpu.config import BASELINE_PRESETS, PRESETS
 from score_tpu.train import train
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ladder.json"
-    dataset = sys.argv[2] if len(sys.argv) > 2 else "taobao"
-    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    args = [a for a in sys.argv[1:] if a != "--baselines"]
+    with_baselines = "--baselines" in sys.argv[1:]
+    from score_tpu.data.prep_datasets import PREP
+    out_path = args[0] if len(args) > 0 else "/tmp/ladder.json"
+    dataset = args[1] if len(args) > 1 else "taobao"
+    epochs = int(args[2]) if len(args) > 2 else 3
 
     ds = PREP[dataset](f"/tmp/score_tpu_data/ladder_{dataset}",
                        synth_kw=dict(num_users=3000, num_items=6000,
@@ -28,7 +35,9 @@ def main():
           f"train={len(ds.train)}", flush=True)
 
     results = {}
-    for name in ("configs0", "configs1", "configs2", "configs3"):
+    names = list(BASELINE_PRESETS) if with_baselines else []
+    names += ["configs0", "configs1", "configs2", "configs3"]
+    for name in names:
         cfg = PRESETS[name]()
         cfg = cfg.replace(train=cfg.train.__class__(
             batch_size=512, learning_rate=1e-3, num_epochs=epochs,

@@ -1,0 +1,115 @@
+"""Perf sweep over train-step variants on the flagship configs3 model.
+
+Measures steady-state train examples/s/chip for a grid of knobs (batch size,
+compute dtype, Pallas co-attention) with the honest-readback protocol from
+BASELINE.md: every timing ends with a host readback of the last fused step's
+loss (block_until_ready returns early on this sandbox's TPU relay).
+
+Usage:  python scripts/perf_sweep.py [variant ...]
+        (no args = full grid; variant names printed in output)
+
+Output: one JSON line per variant to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NUM_USERS = 50_000
+NUM_ITEMS = 100_000
+NUM_EVENTS = 2_000_000
+NUM_SLOTS = 9
+FANOUT = 10
+EMBED_DIM = 32
+STEPS_PER_CALL = 50
+TRAIN_CALLS = 6
+
+
+def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
+                pallas_coattn=False, num_train_neg=1):
+    import jax
+    from score_tpu.config import configs3
+    from score_tpu.data.pipeline import TargetIterator
+    from score_tpu.train import (_stack_batches, build_model, init_state,
+                                 make_train_loop)
+
+    cfg = configs3()
+    cfg = cfg.replace(
+        model=cfg.model.__class__(
+            embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
+            sides="dual", slot_agg="coattn", seq_pool="attn",
+            target_aware=True, compute_dtype=compute_dtype),
+        data=cfg.data.__class__(num_train_neg=num_train_neg),
+        train=cfg.train.__class__(batch_size=batch))
+    model = build_model(cfg, ds.num_users, ds.num_items,
+                        use_pallas_coattn=pallas_coattn)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfg, model, graph, rng)
+    train_loop = make_train_loop(model, cfg)
+    it = TargetIterator(ds.train, batch, seed=0)
+
+    K = STEPS_PER_CALL
+    state, ms = train_loop(state, graph, _stack_batches(it, K), rng)
+    float(ms["loss"][-1])  # warmup + compile (readback forces execution)
+
+    rates = []
+    for _ in range(TRAIN_CALLS):
+        stacked = _stack_batches(it, K)
+        t0 = time.time()
+        state, ms = train_loop(state, graph, stacked, rng)
+        last = float(ms["loss"][-1])   # data-dependent readback = honest wall
+        dt = time.time() - t0
+        rates.append(K * batch / dt)
+    rates = np.array(rates)
+    out = dict(variant=name, batch=batch, dtype=compute_dtype,
+               pallas_coattn=pallas_coattn, neg=num_train_neg,
+               examples_per_s=float(np.median(rates)),
+               rate_min=float(rates.min()), rate_max=float(rates.max()),
+               step_ms=float(1000.0 * STEPS_PER_CALL * batch /
+                             np.median(rates) / STEPS_PER_CALL),
+               last_loss=last)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+VARIANTS = {
+    "base_2048_f32": dict(batch=2048),
+    "b4096_f32": dict(batch=4096),
+    "b8192_f32": dict(batch=8192),
+    "b2048_bf16": dict(batch=2048, compute_dtype="bfloat16"),
+    "b4096_bf16": dict(batch=4096, compute_dtype="bfloat16"),
+    "b8192_bf16": dict(batch=8192, compute_dtype="bfloat16"),
+    "b2048_pallas": dict(batch=2048, pallas_coattn=True),
+    "b4096_bf16_pallas": dict(batch=4096, compute_dtype="bfloat16",
+                              pallas_coattn=True),
+}
+
+
+def main():
+    from score_tpu.data import synth
+    from score_tpu.data.prep_common import build_dataset
+    from score_tpu.graph import device_graph
+
+    names = sys.argv[1:] or list(VARIANTS)
+    t0 = time.time()
+    user, item, ts = synth.synth_events(
+        NUM_USERS, NUM_ITEMS, NUM_EVENTS, num_slots=NUM_SLOTS, seed=0)
+    ds = build_dataset(user, item, ts, num_slots=NUM_SLOTS,
+                       user_fanout=FANOUT, item_fanout=FANOUT,
+                       num_eval_neg=100, min_user=3, min_item=3, seed=0,
+                       dataset_name="sweep")
+    graph = device_graph(ds.graph)
+    print(json.dumps(dict(prep_s=round(time.time() - t0, 1))), flush=True)
+    for n in names:
+        try:
+            run_variant(n, ds, graph, **VARIANTS[n])
+        except Exception as e:  # keep sweeping past a broken variant
+            print(json.dumps(dict(variant=n, error=repr(e)[:300])), flush=True)
+
+
+if __name__ == "__main__":
+    main()

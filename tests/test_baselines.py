@@ -43,6 +43,106 @@ def test_mf_and_pop_forward_and_train(tiny_dataset):
         assert losses[-1] < losses[0], (arch, losses)
 
 
+def test_svdpp_and_delf_forward_and_train(tiny_dataset):
+    """SVD++ / DELF roster entries: forward shapes + loss decreases."""
+    g = device_graph(tiny_dataset.graph)
+    for arch in ("svdpp", "delf"):
+        cfg = _cfg_with(configs1(), arch=arch)
+        model = build_model(cfg, tiny_dataset.num_users,
+                            tiny_dataset.num_items)
+        state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+        out = model.apply({"params": state.params}, _batch(tiny_dataset, g))
+        assert out.shape == (8,)
+        assert np.isfinite(np.asarray(out)).all()
+        step = make_train_step(model, cfg)
+        batch = {k: jnp.asarray(v) for k, v in dict(
+            user=tiny_dataset.train.user[:64],
+            item=tiny_dataset.train.item[:64],
+            slot=tiny_dataset.train.slot[:64]).items()}
+        losses = []
+        for _ in range(10):
+            state, m = step(state, g, batch, jax.random.PRNGKey(0))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], (arch, losses)
+
+
+def test_svdpp_implicit_factor_matches_numpy(tiny_dataset):
+    """SVD++ user vector = eu + |N(u)|^-1/2 sum of implicit item embs."""
+    from score_tpu.nn.baselines import SVDPPModel
+    g = device_graph(tiny_dataset.graph)
+    cfg = _cfg_with(configs1(), arch="svdpp")
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    b = _batch(tiny_dataset, g)
+    pu = model.apply({"params": state.params}, b,
+                     method=SVDPPModel._user_vec)
+    p = state.params
+    eu = np.asarray(p["tables"]["user_table"])[np.asarray(b["user"])]
+    Y = np.asarray(p["implicit_tables"]["item_table"])
+    hist = np.asarray(b["u_hist"])               # [B, T, n]
+    cnt = np.asarray(b["u_cnt"])                 # [B, T]
+    sv = np.asarray(b["slot_valid"])             # [B, T]
+    want = eu.copy()
+    for r in range(hist.shape[0]):
+        ids = [hist[r, t, j]
+               for t in range(hist.shape[1]) if sv[r, t]
+               for j in range(min(cnt[r, t], hist.shape[2]))]
+        if ids:
+            want[r] += Y[np.asarray(ids)].sum(0) / np.sqrt(len(ids))
+    np.testing.assert_allclose(np.asarray(pu), want, rtol=1e-5, atol=1e-6)
+
+
+def test_caser_encoder_causal(rng):
+    """Caser conv encoder: output at slot t must not see slots > t."""
+    from score_tpu.nn.baselines import CaserEncoder
+    B, T, d, f = 2, 6, 8, 16
+    xs = rng.normal(size=(B, T, d)).astype(np.float32)
+    mask = np.ones((B, T), bool)
+    enc = CaserEncoder(features=f)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(xs),
+                      jnp.asarray(mask))
+    h1 = enc.apply(params, jnp.asarray(xs), jnp.asarray(mask))
+    assert h1.shape == (B, T, f)
+    xs2 = xs.copy()
+    xs2[:, 4:] = 99.0          # corrupt the future
+    h2 = enc.apply(params, jnp.asarray(xs2), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(h1)[:, :4], np.asarray(h2)[:, :4],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_caser_encoder_variant(tiny_dataset):
+    cfg = _cfg_with(configs1(), sides="user", seq_encoder="caser",
+                    seq_pool="last", target_aware=False)
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    out = model.apply({"params": state.params}, _batch(tiny_dataset, g))
+    assert out.shape == (8,)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_baseline_presets_build(tiny_dataset):
+    """Every named baseline preset builds, inits, and scores candidates."""
+    from score_tpu.config import BASELINE_PRESETS
+    from score_tpu.graph import gather_candidate_batch
+    g = device_graph(tiny_dataset.graph)
+    u = jnp.asarray(tiny_dataset.train.user[:4])
+    cand = jnp.asarray(
+        np.stack([tiny_dataset.train.item[:4],
+                  tiny_dataset.train.item[4:8]], axis=1))
+    t = jnp.asarray(tiny_dataset.train.slot[:4])
+    cb = gather_candidate_batch(g, u, cand, t)
+    for name, mk in BASELINE_PRESETS.items():
+        cfg = mk()
+        model = build_model(cfg, tiny_dataset.num_users,
+                            tiny_dataset.num_items)
+        state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+        s = model.apply({"params": state.params}, cb,
+                        method=model.score_candidates)
+        assert s.shape == (4, 2), name
+        assert np.isfinite(np.asarray(s)).all(), name
+
+
 def test_selfattn_encoder_variant(tiny_dataset):
     cfg = _cfg_with(configs3(), seq_encoder="selfattn")
     g = device_graph(tiny_dataset.graph)

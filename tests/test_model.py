@@ -148,3 +148,38 @@ def test_shared_table_offsets(tiny_dataset):
     table = state.params["tables"]["table"]
     need = 1 + tiny_dataset.num_users + tiny_dataset.num_items
     assert need <= table.shape[0] < need + 64  # rounded up to row_multiple
+
+
+def test_bfloat16_compute_path(tiny_dataset):
+    """Mixed precision: compute_dtype=bfloat16 keeps the activation chain in
+    bf16 (f32 master params), trains, and tracks the f32 forward closely."""
+    import dataclasses
+    from score_tpu.train import make_train_step
+    g = device_graph(tiny_dataset.graph)
+    cfg32 = configs3()
+    cfg16 = cfg32.replace(model=dataclasses.replace(
+        cfg32.model, compute_dtype="bfloat16"))
+    m32 = build_model(cfg32, tiny_dataset.num_users, tiny_dataset.num_items)
+    m16 = build_model(cfg16, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg32, m32, g, jax.random.PRNGKey(0))
+    idx = np.arange(16)
+    b = gather_batch(g, jnp.asarray(tiny_dataset.train.user[idx]),
+                     jnp.asarray(tiny_dataset.train.item[idx]),
+                     jnp.asarray(tiny_dataset.train.slot[idx]))
+    o32 = m32.apply({"params": state.params}, b)
+    o16 = m16.apply({"params": state.params}, b)   # same f32 master params
+    assert o16.dtype == jnp.float32                # logits always f32
+    np.testing.assert_allclose(np.asarray(o32), np.asarray(o16),
+                               rtol=0.05, atol=0.05)
+    # bf16 train step runs and decreases loss
+    state16 = init_state(cfg16, m16, g, jax.random.PRNGKey(0))
+    step = make_train_step(m16, cfg16)
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        user=tiny_dataset.train.user[:128],
+        item=tiny_dataset.train.item[:128],
+        slot=tiny_dataset.train.slot[:128]).items()}
+    losses = []
+    for _ in range(10):
+        state16, m = step(state16, g, batch, jax.random.PRNGKey(0))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]

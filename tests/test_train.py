@@ -59,6 +59,31 @@ def test_train_step_decreases_loss():
     assert losses[-1] < losses[0] - 0.01, (losses[0], losses[-1])
 
 
+def test_dropout_trains_and_eval_is_deterministic():
+    """dropout > 0: train steps run (stochastic regularization active via the
+    rngs plumbing) while eval/forward stays deterministic (no dropout rng)."""
+    import dataclasses
+    ds = _golden_ds()
+    cfg = configs0()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, dropout=0.5))
+    g = device_graph(ds.graph)
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfg, model, g, rng)
+    step = make_train_step(model, cfg)
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        user=ds.train.user[:256], item=ds.train.item[:256],
+        slot=ds.train.slot[:256]).items()}
+    for _ in range(3):
+        state, m = step(state, g, batch, rng)
+        assert np.isfinite(float(m["loss"]))
+    from score_tpu.graph import gather_batch
+    mb = gather_batch(g, batch["user"], batch["item"], batch["slot"])
+    o1 = model.apply({"params": state.params}, mb)
+    o2 = model.apply({"params": state.params}, mb)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
 def test_train_loop_matches_sequential_steps():
     """K steps via the fused lax.scan loop == K sequential jitted steps."""
     from score_tpu.train import _stack_batches, make_train_loop
