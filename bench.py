@@ -26,8 +26,10 @@ NUM_ITEMS = 100_000
 NUM_EVENTS = 2_000_000
 NUM_SLOTS = 9
 FANOUT = 10
-BATCH = 2048
+BATCH = 4096            # sweep (scripts/perf_sweep.py): 4096 > 2048 > 8192
 EMBED_DIM = 32
+COMPUTE_DTYPE = "bfloat16"  # true-bf16 activation chain; quality-gated vs
+                            # f32 by scripts/bf16_quality.py (BASELINE.md)
 STEPS_PER_CALL = 50     # K steps fused into one dispatch (lax.scan)
 TRAIN_CALLS = 8
 LATENCY_ITERS = 200
@@ -58,7 +60,9 @@ def main() -> None:
     cfg = configs3()
     cfg = cfg.replace(model=cfg.model.__class__(
         embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
-        sides="dual", slot_agg="coattn", seq_pool="attn", target_aware=True))
+        sides="dual", slot_agg="coattn", seq_pool="attn", target_aware=True,
+        compute_dtype=COMPUTE_DTYPE),
+        train=cfg.train.__class__(batch_size=BATCH))
     graph = device_graph(ds.graph)
     model = build_model(cfg, ds.num_users, ds.num_items)
     rng = jax.random.PRNGKey(0)
@@ -131,6 +135,7 @@ def main() -> None:
             "batch": BATCH,
             "chips": n_chips,
             "model": "configs3-coattn",
+            "compute_dtype": COMPUTE_DTYPE,
             "backend": jax.default_backend(),
             "prep_s": round(prep_s, 1),
         },
