@@ -195,11 +195,14 @@ class CrossCoAttention(nn.Module):
         Wr = self.param("wr", nn.initializers.zeros_init(), (d, d))
         Wr = Wr.astype(Eu.dtype)  # f32 master param, compute-dtype activations
 
-        # C <= 2 (training with 1 negative): tiling + the flat per-pair path
-        # measured marginally faster than candidate-axis einsums; larger C
-        # (ranked eval) must NOT tile — the shared-side saving dominates.
+        # The flat per-pair path tiles the shared user side to [B*C, ...]
+        # (materializes C copies of the biggest tensors): required for
+        # pool='max'/Pallas, and a benchmark switch otherwise. The profiled
+        # bf16 step spent ~20% in the broadcast/reshape data formatting this
+        # tiling causes, so C == 2 training now uses the unrolled
+        # candidate-axis path below like every other C.
         if (self.pool not in ("sum", "mean") or self.use_pallas
-                or self.force_pairflat or C <= 2):
+                or self.force_pairflat):
             # per-pair fallback: tile the shared side to [B*C, ...]
             Eu_f = jnp.broadcast_to(Eu[:, None], (B, C, T, n, d)).reshape(
                 B * C, T, n, d)

@@ -101,11 +101,15 @@ def main():
         print(f"{cat:40s} {t:10.1f} us  {100*t/max(total,1e-9):5.1f}%")
     print("\n-- top ops --")
     rows.sort(key=lambda row: -float(row[i_self] or 0.0))
+    i_expr = cols.index("hlo_op_expression")
+    i_src = cols.index("source_info")
     for row in rows[:15]:
         t = float(row[i_self] or 0.0)
         print(f"{str(row[i_name])[:56]:56s} {str(row[i_cat])[:20]:20s} "
               f"{t:9.1f} us {100*t/max(total,1e-9):5.1f}% "
               f"bound_by={row[i_bound]}")
+        print(f"    src={str(row[i_src])[:100]}")
+        print(f"    expr={str(row[i_expr])[:240]}")
 
 
 if __name__ == "__main__":
