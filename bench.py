@@ -93,8 +93,11 @@ def main() -> None:
     # --- ranked-eval throughput (targets/s, each vs 1+100 candidates) ---
     from score_tpu.train import evaluate
     n_eval = 4096
+    # warmup at the SAME max_targets: the pooled-metric graphs compile per
+    # target-count shape, and a shape-cold timed call measures the compile
+    # (measured 47s compile vs 0.8s eval at 4096 targets)
     evaluate(eval_step, state.params, graph, ds.val,
-             batch_size=512, max_targets=512)      # compile warmup
+             batch_size=512, max_targets=n_eval)   # compile warmup
     t_ev = time.time()
     ev = evaluate(eval_step, state.params, graph, ds.val,
                   batch_size=512, max_targets=n_eval)

@@ -75,8 +75,15 @@ def _resample_collisions(neg: jnp.ndarray, pos: jnp.ndarray,
     return jnp.where(shifted > num_items, 1, shifted)
 
 
-def _make_train_step_fn(model: ScoreModel, cfg: Config) -> Callable:
-    """Unjitted single-step body (shared by make_train_step / make_train_loop)."""
+def _make_train_step_fn(model: ScoreModel, cfg: Config,
+                        with_auc: bool = True) -> Callable:
+    """Unjitted single-step body (shared by make_train_step / make_train_loop).
+
+    with_auc=False returns the step's logits instead of the batch AUC: the
+    rank-sum AUC sorts the scores, and profiling showed the per-step sort at
+    ~7% of the fused-loop step — the loop computes AUC once per chunk from
+    the final step's logits instead (only the last step's metrics are read).
+    """
     k = cfg.data.num_train_neg
     l2 = cfg.train.l2_emb
     # true item-id range for negative sampling (graph/node axes are padded
@@ -111,6 +118,8 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config) -> Callable:
 
         grads, (loss, logits) = jax.grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
+        if not with_auc:
+            return new_state, {"loss": loss, "logits": logits}
         batch_auc = auc_fn(logits.reshape(-1), labels.reshape(-1))
         return new_state, {"loss": loss, "batch_auc": batch_auc}
 
@@ -130,7 +139,8 @@ def make_train_loop(model: ScoreModel, cfg: Config) -> Callable:
     driver stages K batches as one [K, B] device array and runs the whole
     chunk inside one jitted call — the TPU-idiomatic train-loop-in-jit.
     Returns (state, stacked-metrics)."""
-    step_fn = _make_train_step_fn(model, cfg)
+    step_fn = _make_train_step_fn(model, cfg, with_auc=False)
+    k = cfg.data.num_train_neg
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_loop(state: TrainState, graph: DeviceGraph,
@@ -139,7 +149,17 @@ def make_train_loop(model: ScoreModel, cfg: Config) -> Callable:
             state, m = step_fn(state, graph, batch, rng)
             return state, m
 
-        return jax.lax.scan(body, state, batches)
+        state, ms = jax.lax.scan(body, state, batches)
+        # AUC once per chunk, on the final step's logits (the driver reads
+        # only the last step's metrics; the rank-sum sort is ~7%/step fused)
+        logits = ms.pop("logits")[-1]                       # [B, 1+k]
+        B = logits.shape[0]
+        labels = jnp.concatenate(
+            [jnp.ones((B, 1), jnp.float32),
+             jnp.zeros((B, k), jnp.float32)], axis=1)
+        ms["batch_auc"] = auc_fn(logits.reshape(-1),
+                                 labels.reshape(-1))[None]  # [1]; [-1] works
+        return state, ms
 
     return train_loop
 
