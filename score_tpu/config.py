@@ -80,6 +80,11 @@ class DataConfig:
 class TrainConfig:
     batch_size: int = 256
     learning_rate: float = 1e-3
+    optimizer: str = "adam"        # 'adam' | 'adamw' | 'adagrad' | 'sgd'
+    lr_schedule: str = "constant"  # 'constant' | 'cosine' (+ linear warmup)
+    warmup_steps: int = 0          # linear warmup from 0 over this many steps
+    decay_steps: int = 0           # cosine horizon; 0 = infer from epochs
+    weight_decay: float = 0.0      # decoupled decay (adamw only)
     l2_emb: float = 1e-5           # λ‖Emb‖² (paper §3.5)
     num_epochs: int = 10
     eval_every_steps: int = 200
@@ -89,6 +94,11 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
     log_every_steps: int = 50
+
+    def __post_init__(self):
+        assert self.optimizer in ("adam", "adamw", "adagrad", "sgd"), \
+            self.optimizer
+        assert self.lr_schedule in ("constant", "cosine"), self.lr_schedule
 
 
 @dataclasses.dataclass(frozen=True)

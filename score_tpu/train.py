@@ -49,14 +49,39 @@ def build_model(cfg: Config, num_users: int, num_items: int,
                lookup_fn=lookup_fn, use_pallas_coattn=use_pallas_coattn)
 
 
+def make_optimizer(cfg: Config, steps_per_epoch: int = 0):
+    """Optimizer + LR schedule from TrainConfig (reference: bare Adam at a
+    fixed lr — SURVEY.md §2.3 #11; the extra choices are the standard recsys
+    hyperparameter surface, all optax one-liners)."""
+    tc = cfg.train
+    lr = tc.learning_rate
+    if tc.lr_schedule == "cosine":
+        decay = tc.decay_steps or max(
+            steps_per_epoch * cfg.train.num_epochs, 1)
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if tc.warmup_steps else lr, peak_value=lr,
+            warmup_steps=tc.warmup_steps, decay_steps=decay)
+    elif tc.warmup_steps:
+        sched = optax.linear_schedule(0.0, lr, tc.warmup_steps)
+    else:
+        sched = lr
+    if tc.optimizer == "adam":
+        return optax.adam(sched)
+    if tc.optimizer == "adamw":
+        return optax.adamw(sched, weight_decay=tc.weight_decay)
+    if tc.optimizer == "adagrad":
+        return optax.adagrad(sched)
+    return optax.sgd(sched)
+
+
 def init_state(cfg: Config, model: ScoreModel, graph: DeviceGraph,
-               rng: jax.Array) -> TrainState:
+               rng: jax.Array, steps_per_epoch: int = 0) -> TrainState:
     B = 2
     dummy = gather_batch(graph,
                          jnp.ones((B,), jnp.int32), jnp.ones((B,), jnp.int32),
                          jnp.full((B,), graph.num_slots, jnp.int32))
     params = model.init(rng, dummy)["params"]
-    tx = optax.adam(cfg.train.learning_rate)
+    tx = make_optimizer(cfg, steps_per_epoch)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
@@ -250,7 +275,9 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
         graph = shard_graph(mesh, graph)
     model = build_model(cfg, ds.num_users, ds.num_items, lookup_fn=lookup_fn)
     rng = jax.random.PRNGKey(cfg.train.seed)
-    state = init_state(cfg, model, graph, rng)
+    it = TargetIterator(ds.train, cfg.train.batch_size, seed=cfg.train.seed)
+    state = init_state(cfg, model, graph, rng,
+                       steps_per_epoch=it.steps_per_epoch)
     if mesh is not None:
         state = shard_state(mesh, state)
         _bs = batch_sharding(mesh)
@@ -260,7 +287,6 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
     train_step = make_train_step(model, cfg)
     eval_step = make_eval_step(model)
 
-    it = TargetIterator(ds.train, cfg.train.batch_size, seed=cfg.train.seed)
     steps_per_epoch = it.steps_per_epoch
     total_steps = steps_per_epoch * cfg.train.num_epochs
     eval_every = min(cfg.train.eval_every_steps, max(steps_per_epoch, 1))
