@@ -74,6 +74,20 @@ class DataConfig:
     item_fanout: int = 10          # m: users per item per slot (padded)
     num_train_neg: int = 1         # k sampled negatives per positive (train)
     num_eval_neg: int = 100        # N eval negatives per positive (paper §4.2)
+    # How train negatives are drawn:
+    #   'uniform'  k iid uniform item ids per positive (the reference's
+    #              protocol; their histories are gathered per negative)
+    #   'inbatch'  k batch-axis rolls of the positives — the negative item
+    #              side reuses the positives' already-embedded history
+    #              tensors, adding ZERO embedding-row gathers/scatter-adds
+    #              (the dominant step cost, BASELINE.md scatter roofline).
+    #              Negatives are popularity-distributed (in-batch sampling's
+    #              usual bias); quality-gated vs 'uniform' before use.
+    train_neg_mode: str = "uniform"
+
+    def __post_init__(self):
+        assert self.train_neg_mode in ("uniform", "inbatch"), \
+            self.train_neg_mode
 
 
 @dataclasses.dataclass(frozen=True)

@@ -123,6 +123,22 @@ class ScoreModel(nn.Module):
         eu = self.tables.user_emb(batch["user"]).astype(cdt)     # [B, d]
         ei = self.tables.item_emb(batch["cand"]).astype(cdt)     # [B, C, d]
         sv = batch["slot_valid"]                                 # [B, T]
+        i_cnt = batch["i_cnt"]
+        shifts = batch.get("neg_shift")
+        if shifts is not None:
+            # In-batch negatives (DataConfig.train_neg_mode='inbatch'):
+            # candidate c>0 of example b is example (b+shift_c)'s positive
+            # item. The item side arrives as C=1 tensors, is embedded once
+            # per example, and the per-negative copies are batch-axis rolls
+            # of the *embedded* tensors — negatives add zero embedding-row
+            # gathers and zero grad scatter-adds (the dominant step cost;
+            # BASELINE.md scatter-add roofline). Grads flow back through the
+            # inverse roll, so each positive's history also trains from its
+            # appearances as other examples' negative.
+            rolls = lambda x: jnp.concatenate(
+                [x] + [jnp.roll(x, -s, axis=0) for s in shifts], axis=1)
+            ei = rolls(ei)
+            i_cnt = rolls(i_cnt)
         B, C = ei.shape[0], ei.shape[1]
         T = sv.shape[1]
 
@@ -132,7 +148,9 @@ class ScoreModel(nn.Module):
 
         if dual:
             Ei = self.tables.user_emb(batch["i_hist"]).astype(cdt)
-            mi = _nbr_mask(batch["i_cnt"], Ei.shape[3],
+            if shifts is not None:
+                Ei = rolls(Ei)
+            mi = _nbr_mask(i_cnt, Ei.shape[3],
                            sv[:, None])                          # [B,C,T,m]
             eu_c = jnp.broadcast_to(eu[:, None], (B, C, eu.shape[-1]))
 

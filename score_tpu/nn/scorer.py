@@ -41,6 +41,13 @@ class Scorer(nn.Module):
         return jnp.squeeze(logit, axis=-1)
 
 
-def bce_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean sigmoid binary cross-entropy (the reference's pointwise loss)."""
-    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+def bce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+             weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mean sigmoid binary cross-entropy (the reference's pointwise loss).
+
+    weights (optional, same shape as logits) drop degenerate elements from
+    the mean — e.g. in-batch negatives that collide with their positive."""
+    ell = optax.sigmoid_binary_cross_entropy(logits, labels)
+    if weights is None:
+        return jnp.mean(ell)
+    return jnp.sum(ell * weights) / jnp.maximum(jnp.sum(weights), 1.0)

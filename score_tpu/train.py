@@ -110,6 +110,7 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
     the final step's logits instead (only the last step's metrics are read).
     """
     k = cfg.data.num_train_neg
+    neg_mode = cfg.data.train_neg_mode
     l2 = cfg.train.l2_emb
     # true item-id range for negative sampling (graph/node axes are padded
     # to a mesh-divisible multiple, so shapes over-count)
@@ -120,24 +121,40 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
         u, i, t = batch["user"], batch["item"], batch["slot"]
         B = u.shape[0]
         step_rng = jax.random.fold_in(rng, state.step)
-        neg = jax.random.randint(step_rng, (B, k), 1, num_items + 1,
-                                 dtype=u.dtype)
-        neg = _resample_collisions(neg, i[:, None], num_items)
-
-        # candidates form: [positive | k negatives] per user — the user-side
-        # gather/embed/grad runs once per user, not (1+k) times
-        cand = jnp.concatenate([i[:, None], neg], axis=1)        # [B, 1+k]
         labels = jnp.concatenate(
             [jnp.ones((B, 1), jnp.float32),
              jnp.zeros((B, k), jnp.float32)], axis=1)
-        mb = gather_candidate_batch(graph, u, cand, t)
+        weights = None
+        if neg_mode == "inbatch":
+            # negatives = batch-axis rolls of the positives: only the
+            # positives' item-side histories are ever gathered; the model
+            # rolls the *embedded* tensors (see ScoreModel.score_candidates)
+            shifts = jax.random.randint(step_rng, (k,), 1, max(B, 2),
+                                        dtype=u.dtype)
+            mb = gather_candidate_batch(graph, u, i[:, None], t)
+            mb["neg_shift"] = shifts
+            negs = jnp.stack([jnp.roll(i, -s, axis=0) for s in shifts],
+                             axis=1)                             # [B, k]
+            # a rolled positive can collide with the example's own positive
+            # (hot items): drop those elements from the loss
+            weights = jnp.concatenate(
+                [jnp.ones((B, 1), jnp.float32),
+                 (negs != i[:, None]).astype(jnp.float32)], axis=1)
+        else:
+            neg = jax.random.randint(step_rng, (B, k), 1, num_items + 1,
+                                     dtype=u.dtype)
+            neg = _resample_collisions(neg, i[:, None], num_items)
+            # candidates form: [positive | k negatives] per user — the
+            # user-side gather/embed/grad runs once per user, not (1+k) times
+            cand = jnp.concatenate([i[:, None], neg], axis=1)    # [B, 1+k]
+            mb = gather_candidate_batch(graph, u, cand, t)
 
         def loss_fn(params):
             logits = model.apply({"params": params}, mb, train=True,
                                  method=model.score_candidates,
                                  rngs={"dropout": jax.random.fold_in(
                                      step_rng, 1)})
-            loss = bce_loss(logits, labels)
+            loss = bce_loss(logits, labels, weights)
             reg = l2 * _table_l2(params) if l2 > 0 else 0.0
             return loss + reg, (loss, logits)
 

@@ -99,6 +99,42 @@ def test_candidates_grads_match_flat(tiny_dataset):
                                    rtol=3e-4, atol=1e-4)
 
 
+def test_inbatch_roll_equals_explicit_candidates(tiny_dataset):
+    """In-batch negatives via neg_shift (rolling the *embedded* item-side
+    tensors) must score identically to explicitly gathering the rolled
+    items as candidates — forward and gradients."""
+    cfg, g, model, params = _setup(tiny_dataset, "configs3", {})
+    B = 6
+    idx = np.linspace(0, len(tiny_dataset.train) - 1, B).astype(np.int64)
+    users = jnp.asarray(tiny_dataset.train.user[idx])
+    items = jnp.asarray(tiny_dataset.train.item[idx])
+    slots = jnp.asarray(tiny_dataset.train.slot[idx])
+    shifts = (2, 4)
+
+    def out_roll(p):
+        mb = gather_candidate_batch(g, users, items[:, None], slots)
+        mb["neg_shift"] = jnp.asarray(shifts, jnp.int32)
+        return model.apply({"params": p}, mb, method=model.score_candidates)
+
+    def out_explicit(p):
+        cand = jnp.stack(
+            [items] + [jnp.roll(items, -s, axis=0) for s in shifts], axis=1)
+        mb = gather_candidate_batch(g, users, cand, slots)
+        return model.apply({"params": p}, mb, method=model.score_candidates)
+
+    a, b = out_roll(params), out_explicit(params)
+    assert a.shape == (B, 1 + len(shifts))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+    g_r = jax.grad(lambda p: jnp.sum(out_roll(p) ** 2))(params)
+    g_e = jax.grad(lambda p: jnp.sum(out_explicit(p) ** 2))(params)
+    for x, y in zip(jax.tree_util.tree_leaves(g_r),
+                    jax.tree_util.tree_leaves(g_e)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=3e-4, atol=1e-4)
+
+
 def test_mf_candidates(tiny_dataset):
     cfg, g, model, params = _setup(
         tiny_dataset, "configs1", {"arch": "mf"})

@@ -118,6 +118,33 @@ def test_train_loop_matches_sequential_steps():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_inbatch_negatives_train_step():
+    """train_neg_mode='inbatch' learns (loss falls well below BCE chance)
+    and its collision weighting keeps the loss finite on duplicate items."""
+    import dataclasses
+
+    from score_tpu.config import configs3
+
+    ds = _golden_ds()
+    cfg = configs3()
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, train_neg_mode="inbatch", num_train_neg=2))
+    g = device_graph(ds.graph)
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfg, model, g, rng)
+    step = make_train_step(model, cfg)
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        user=ds.train.user[:256], item=ds.train.item[:256],
+        slot=ds.train.slot[:256]).items()}
+    losses = []
+    for _ in range(30):
+        state, m = step(state, g, batch, rng)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] - 0.01, (losses[0], losses[-1])
+
+
 def test_eval_step_shapes():
     ds = _golden_ds()
     cfg = configs0()
