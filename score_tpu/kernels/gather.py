@@ -80,7 +80,7 @@ def gather_rows_pallas(table: jnp.ndarray, ids: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((tile_n,), lambda g: (g,),
                          memory_space=pltpu.SMEM),         # this tile's ids
-            pl.BlockSpec(memory_space=pltpu.ANY),          # table in HBM
+            pl.BlockSpec(memory_space=pl.ANY),             # table in HBM
         ],
         out_specs=pl.BlockSpec((tile_n, d), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),

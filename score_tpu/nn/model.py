@@ -126,6 +126,11 @@ class ScoreModel(nn.Module):
         i_cnt = batch["i_cnt"]
         shifts = batch.get("neg_shift")
         if shifts is not None:
+            # contract: rolls only make sense against a single positive per
+            # example — a C>1 candidate axis would interleave candidates and
+            # rolled negatives in scrambled order (ADVICE.md r1)
+            assert ei.shape[1] == 1, (
+                f"neg_shift requires C==1 candidates, got C={ei.shape[1]}")
             # In-batch negatives (DataConfig.train_neg_mode='inbatch'):
             # candidate c>0 of example b is example (b+shift_c)'s positive
             # item. The item side arrives as C=1 tensors, is embedded once

@@ -129,8 +129,16 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
             # negatives = batch-axis rolls of the positives: only the
             # positives' item-side histories are ever gathered; the model
             # rolls the *embedded* tensors (see ScoreModel.score_candidates)
-            shifts = jax.random.randint(step_rng, (k,), 1, max(B, 2),
-                                        dtype=u.dtype)
+            if k == 1:
+                shifts = jax.random.randint(step_rng, (k,), 1, max(B, 2),
+                                            dtype=u.dtype)
+            else:
+                # distinct shifts: duplicate shifts would double-count a
+                # negative column in the loss (ADVICE.md r1)
+                assert k <= max(B - 1, 1), (k, B)
+                shifts = jax.random.choice(
+                    step_rng, jnp.arange(1, max(B, 2), dtype=u.dtype),
+                    (k,), replace=False)
             mb = gather_candidate_batch(graph, u, i[:, None], t)
             mb["neg_shift"] = shifts
             negs = jnp.stack([jnp.roll(i, -s, axis=0) for s in shifts],
@@ -160,9 +168,15 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
 
         grads, (loss, logits) = jax.grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
+        # collision weights feed the monitoring AUC too: in inbatch mode a
+        # rolled negative equal to the example's own positive would otherwise
+        # be counted as a mislabeled 0 (ADVICE.md r1)
+        w = (weights if weights is not None
+             else jnp.ones_like(labels))
         if not with_auc:
-            return new_state, {"loss": loss, "logits": logits}
-        batch_auc = auc_fn(logits.reshape(-1), labels.reshape(-1))
+            return new_state, {"loss": loss, "logits": logits, "weights": w}
+        batch_auc = auc_fn(logits.reshape(-1), labels.reshape(-1),
+                           w.reshape(-1))
         return new_state, {"loss": loss, "batch_auc": batch_auc}
 
     return train_step
@@ -195,12 +209,13 @@ def make_train_loop(model: ScoreModel, cfg: Config) -> Callable:
         # AUC once per chunk, on the final step's logits (the driver reads
         # only the last step's metrics; the rank-sum sort is ~7%/step fused)
         logits = ms.pop("logits")[-1]                       # [B, 1+k]
+        w = ms.pop("weights")[-1]
         B = logits.shape[0]
         labels = jnp.concatenate(
             [jnp.ones((B, 1), jnp.float32),
              jnp.zeros((B, k), jnp.float32)], axis=1)
-        ms["batch_auc"] = auc_fn(logits.reshape(-1),
-                                 labels.reshape(-1))[None]  # [1]; [-1] works
+        ms["batch_auc"] = auc_fn(logits.reshape(-1), labels.reshape(-1),
+                                 w.reshape(-1))[None]       # [1]; [-1] works
         return state, ms
 
     return train_loop

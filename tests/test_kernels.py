@@ -68,6 +68,38 @@ def test_coattn_kernel_grads_match_ref(rng):
                                    rtol=1e-5, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("n_ids", [7, 1000, 1024, 1500, 2048])
+@pytest.mark.parametrize("d", [8, 32])
+def test_gather_kernel_matches_take(rng, n_ids, d):
+    """gather_rows_pallas == jnp.take over a shape grid incl. id counts that
+    are not multiples of the 1024 tile (the pad-then-slice path)."""
+    from score_tpu.kernels.gather import gather_rows_pallas
+    V = 300
+    table = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, V, size=(n_ids,)).astype(np.int32))
+    got = gather_rows_pallas(table, ids, interpret=True)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gather_kernel_nd_ids(rng):
+    from score_tpu.kernels.gather import gather_rows_pallas
+    table = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 64, size=(3, 5, 7)).astype(np.int32))
+    got = gather_rows_pallas(table, ids, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(jnp.take(table, ids, axis=0)))
+
+
+def test_gather_sorted_matches_take(rng):
+    from score_tpu.kernels.gather import gather_rows_sorted
+    table = jnp.asarray(rng.normal(size=(100, 8)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 100, size=(501,)).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(gather_rows_sorted(table, ids)),
+        np.asarray(jnp.take(table, ids, axis=0)))
+
+
 def test_coattn_kernel_under_jit(rng):
     B, T, n, m, d = 2, 5, 4, 6, 8
     Eu, Ei, mu, mi, Wr, eu, ei = _inputs(rng, B, T, n, m, d)
