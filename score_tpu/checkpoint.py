@@ -29,7 +29,12 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def save(self, name: str, state, it_state: Tuple[int, int],
-             best_val: float, step: int) -> None:
+             best_val: float, step: int, block: bool = False) -> None:
+        """Async save (VERDICT.md r1 #9): orbax's StandardCheckpointer
+        snapshots the arrays to host and writes in a background thread, so
+        the step stream resumes immediately. We only block for the PREVIOUS
+        in-flight save (orbax allows one at a time), or when block=True
+        (final save before process exit)."""
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
@@ -39,12 +44,19 @@ class CheckpointManager:
             "best_val": np.asarray(best_val),
         }
         path = self._path(name)
+        self._ckptr.wait_until_finished()
         self._ckptr.save(path, payload, force=True)
+        if block:
+            self._ckptr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed to disk."""
         self._ckptr.wait_until_finished()
 
     def restore(self, name: str, state) -> Optional[dict]:
         """Restore into the structure/shardings of `state`. Returns the
         payload dict (state fields + iterator/best metadata) or None."""
+        self._ckptr.wait_until_finished()
         path = self._path(name)
         if not os.path.exists(path):
             return None

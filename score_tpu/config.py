@@ -84,6 +84,11 @@ class DataConfig:
     #              Negatives are popularity-distributed (in-batch sampling's
     #              usual bias); quality-gated vs 'uniform' before use.
     train_neg_mode: str = "uniform"
+    # Per-step on-device neighbor re-sampling (reference sampler semantics,
+    # SURVEY.md §2.3 #5): prep the dataset with a WIDER fan-out than
+    # user_fanout/item_fanout, and each train step draws a fresh uniform
+    # subset (graph.subsample_neighbors). Off = use the prep-time sample.
+    neighbor_resample: bool = False
 
     def __post_init__(self):
         assert self.train_neg_mode in ("uniform", "inbatch"), \
@@ -131,6 +136,10 @@ class ShardingConfig:
     num_data: int = 1
     num_rows: int = 1
     lookup_mode: str = "local"     # 'local' | 'psum' | 'a2a'
+    # a2a per-device unique-id buffer capacity (0 = exact worst case). A
+    # smaller static capacity shrinks every exchange buffer; must upper-bound
+    # the per-device unique-id count (sharding.a2a_lookup docstring).
+    a2a_capacity: int = 0
 
     def __post_init__(self):
         assert self.lookup_mode in ("local", "psum", "a2a"), self.lookup_mode

@@ -124,24 +124,37 @@ def _build_side(node: np.ndarray, nbr: np.ndarray, slot: np.ndarray,
 
 def _sample_eval_negatives(pos_user: np.ndarray, pos_item: np.ndarray,
                            num_items: int, num_neg: int,
-                           seen_per_user: dict | None,
+                           seen_keys: np.ndarray | None,
                            rng: np.random.Generator) -> np.ndarray:
     """N fixed negatives per eval positive; never the positive, optionally
-    nothing the user ever touched (SURVEY.md §2.4 step 7)."""
+    nothing the user ever touched (SURVEY.md §2.4 step 7).
+
+    Fully vectorized (VERDICT.md r1 #8 — the per-row Python retry loop would
+    not survive millions of eval targets): membership in the user's seen set
+    is one searchsorted into `seen_keys`, a globally sorted array of
+    user*(num_items+1)+item keys; resampling redraws the whole bad mask at
+    once. Expected redraw rounds ~ O(log n / log(1/p_bad)), p_bad = seen
+    fraction per user — tiny for real recsys sparsity.
+    """
     n = pos_user.size
     neg = rng.integers(1, num_items + 1, size=(n, num_neg), dtype=np.int64)
-    for row in range(n):
-        forbidden = (seen_per_user.get(int(pos_user[row]), frozenset())
-                     if seen_per_user is not None
-                     else frozenset((int(pos_item[row]),)))
-        if not forbidden:
-            forbidden = frozenset((int(pos_item[row]),))
-        bad = np.array([x in forbidden for x in neg[row]])
-        tries = 0
-        while bad.any() and tries < 100:
-            neg[row, bad] = rng.integers(1, num_items + 1, size=bad.sum())
-            bad = np.array([x in forbidden for x in neg[row]])
-            tries += 1
+    base = pos_user.astype(np.int64) * (num_items + 1)
+
+    def bad_mask(cand: np.ndarray) -> np.ndarray:
+        bad = cand == pos_item[:, None]
+        if seen_keys is not None and seen_keys.size:
+            keys = base[:, None] + cand
+            idx = np.searchsorted(seen_keys, keys)
+            idx_c = np.minimum(idx, seen_keys.size - 1)
+            bad |= seen_keys[idx_c] == keys
+        return bad
+
+    for _ in range(100):
+        bad = bad_mask(neg)
+        k = int(bad.sum())
+        if k == 0:
+            break
+        neg[bad] = rng.integers(1, num_items + 1, size=k)
     return neg.astype(np.int32)
 
 
@@ -196,10 +209,9 @@ def build_dataset(user_raw: np.ndarray, item_raw: np.ndarray, ts: np.ndarray,
 
     seen = None
     if exclude_seen_negatives:
-        seen = {}
-        for u, i in zip(user_d.tolist(), item_d.tolist()):
-            seen.setdefault(u, set()).add(i)
-        seen = {u: frozenset(s) for u, s in seen.items()}
+        # Sorted (user, item) key array: one vectorized membership structure
+        # for the whole eval-negative draw (no per-user Python sets).
+        seen = np.sort(user_d.astype(np.int64) * (num_items + 1) + item_d)
 
     def _targets(mask, with_neg):
         t = Targets(user=user_d[mask].astype(np.int32),

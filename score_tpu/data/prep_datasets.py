@@ -38,10 +38,22 @@ _DEFAULTS = {
 }
 
 
-def _read_csv_cols(path: str, usecols, dtype=np.int64) -> list[np.ndarray]:
-    data = np.loadtxt(path, delimiter=",", skiprows=1, usecols=usecols,
-                      dtype=dtype, ndmin=2)
-    return [data[:, k] for k in range(data.shape[1])]
+def _read_csv_cols(path: str, usecols, dtype=np.int64,
+                   chunk_rows: int = 4_000_000) -> list[np.ndarray]:
+    """Chunked columnar CSV reader (VERDICT.md r1 #8: np.loadtxt is a pure
+    Python row loop and would not survive Taobao-scale ~1e8-event logs).
+    pandas' C engine streams `chunk_rows` at a time so peak memory is the
+    packed output + one chunk."""
+    import pandas as pd
+    cols = list(usecols)
+    parts = []
+    for chunk in pd.read_csv(path, usecols=cols, dtype=dtype,
+                             chunksize=chunk_rows, engine="c"):
+        parts.append(chunk.to_numpy(dtype=dtype))
+    data = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    # pandas returns columns in file order; map back to the requested order
+    order = np.argsort(np.argsort(cols))
+    return [data[:, order[k]] for k in range(len(cols))]
 
 
 def _load_or_synth(dataset: str, raw_path: str | None, usecols,

@@ -82,6 +82,30 @@ def slot_valid_mask(slots: jnp.ndarray, num_slots: int) -> jnp.ndarray:
     return t < slots[:, None]
 
 
+def subsample_neighbors(hist: jnp.ndarray, cnt: jnp.ndarray, k: int,
+                        rng) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Seeded uniform k-subset (without replacement) of each row's valid
+    neighbors, on device (VERDICT.md r1 #10: the reference's sampler re-draws
+    per occurrence; prep pre-truncation fixes the sample for the whole run).
+
+    Store a wider fan-out at prep (e.g. 2k) and re-draw a k-subset per step:
+    top-k of iid uniform keys over the valid prefix is an exact uniform
+    sample without replacement, in static shapes. hist: [..., S] ids,
+    cnt: [...] valid counts; returns ([..., k], min(cnt, k)).
+    """
+    import jax
+    S = hist.shape[-1]
+    if S <= k:
+        return hist, cnt
+    j = jnp.arange(S, dtype=cnt.dtype)
+    valid = j.reshape((1,) * cnt.ndim + (-1,)) < cnt[..., None]
+    keys = jax.random.uniform(rng, hist.shape)
+    keys = jnp.where(valid, keys, -1.0)        # invalid sort last
+    _, idx = jax.lax.top_k(keys, k)
+    return (jnp.take_along_axis(hist, idx, axis=-1),
+            jnp.minimum(cnt, jnp.asarray(k, cnt.dtype)))
+
+
 def gather_batch(g: DeviceGraph, users: jnp.ndarray, items: jnp.ndarray,
                  slots: jnp.ndarray) -> dict:
     """Assemble the model's history inputs for a batch of targets."""

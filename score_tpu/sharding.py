@@ -56,7 +56,8 @@ def bringup(shard_cfg=None, coordinator_address: str | None = None,
     n = shard_cfg.num_data * shard_cfg.num_rows
     mesh = make_mesh(devices[:n], data=shard_cfg.num_data,
                      rows=shard_cfg.num_rows)
-    return mesh, make_lookup_fn(mesh, shard_cfg.lookup_mode)
+    return mesh, make_lookup_fn(mesh, shard_cfg.lookup_mode,
+                                capacity=getattr(shard_cfg, "a2a_capacity", 0))
 
 
 def factor_mesh(n: int) -> tuple[int, int]:
@@ -129,7 +130,17 @@ def shard_graph(mesh: Mesh, graph):
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Batch axis sharded over ALL devices (both mesh axes): dense-tower
+    compute is data-parallel everywhere; 'rows' is a storage axis for the
+    tables, not a compute axis. This is what lets a2a_lookup return
+    data-sharded responses with no replicating all_gather (VERDICT.md r1
+    #5)."""
+    return NamedSharding(mesh, P((DATA_AXIS, ROWS_AXIS)))
+
+
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[K, B] stacked multi-step batches: steps replicated, batch sharded."""
+    return NamedSharding(mesh, P(None, (DATA_AXIS, ROWS_AXIS)))
 
 
 # --- explicit shard_map lookup paths (M5; equivalence-gated vs local take) ---
@@ -166,77 +177,112 @@ def psum_lookup(mesh: Mesh, table: jnp.ndarray,
         out_specs=P(DATA_AXIS))(table, ids)
 
 
-def a2a_lookup(mesh: Mesh, table: jnp.ndarray,
-               ids: jnp.ndarray) -> jnp.ndarray:
+def a2a_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
+               capacity: int = 0) -> jnp.ndarray:
     """The north-star lookup (BASELINE.json:5): all-to-all request/response
-    exchange over the 'rows' axis.
+    exchange over the 'rows' axis — v2 (VERDICT.md r1 #5).
 
-    Each (data, rows) shard buckets its local ids by owner shard
-    (static-capacity buckets, SURVEY.md §7.3 item 1), all_to_all routes the
-    requests to their owners, owners gather locally, a second all_to_all
-    returns the embeddings, and a scatter un-permutes them.
+    The batch (ids axis 0) is sharded over BOTH mesh axes; each device:
+      1. DEDUPS its local ids (sort + unique-rank) — duplicate-heavy id
+         streams (B·T·n lookups, zipf items) exchange each id once, and the
+         autodiff transpose pre-reduces duplicate grad rows BEFORE the
+         return exchange, shrinking the owner-side scatter-add to unique
+         rows;
+      2. buckets the unique ids by owner shard into [n_rows, cap] buffers
+         (bucket offsets via searchsorted on the owner-sorted array — no
+         O(cap·n_rows) one_hot/cumsum);
+      3. all_to_all routes requests to owners, owners gather from their
+         local table block, a second all_to_all returns embeddings;
+      4. un-buckets + un-dedups; the output stays sharded over both axes —
+         NO replicating all_gather (responses are data-sharded).
+
+    `capacity` (static) caps the per-device unique-id buffer; 0 means the
+    exact worst case (= local id count). A smaller capacity shrinks every
+    exchange buffer proportionally (SURVEY.md §7.3 item 1 static-capacity
+    buckets); ids beyond it read garbage unique slots, so callers must pick
+    an upper bound on per-device uniques (exact whenever
+    capacity >= n_unique; see tests/test_sharding.py).
+
+    Overlap note (SURVEY.md §5): the model issues all four lookup exchanges
+    (targets + both histories) before any consumer compute, so XLA's
+    latency-hiding scheduler is free to overlap the collectives with the
+    co-attention compute of previously-arrived operands — overlap is
+    expressed by dataflow independence, not manual double-buffering.
     """
     V, d = table.shape
     n_rows = mesh.shape[ROWS_AXIS]
+    n_all = n_rows * mesh.shape[DATA_AXIS]
     assert V % n_rows == 0, (
         f"pad the table: {V} rows not divisible by rows axis {n_rows}")
     per = V // n_rows
 
+    # Pad the batch axis so it splits over all devices (sliced off at the
+    # end); pad ids are 0 and cost one extra row-0 lookup each.
+    n0 = ids.shape[0]
+    n0_pad = -(-n0 // n_all) * n_all
+    ids_p = jnp.pad(ids, [(0, n0_pad - n0)] + [(0, 0)] * (ids.ndim - 1))
+
     def body(tbl, ids_):
-        flat = ids_.reshape(-1)
-        n = flat.shape[0]
-        n_pad = -(-n // n_rows) * n_rows
-        flat_p = jnp.pad(flat, (0, n_pad - n))          # pad ids hit row 0
-        chunk = n_pad // n_rows
+        flat = ids_.reshape(-1)                          # local ids [L]
+        L = flat.shape[0]
+        cap = min(capacity, L) if capacity else L
         r = jax.lax.axis_index(ROWS_AXIS)
-        # Each rows-shard serves 1/n_rows of this data-shard's ids: split the
-        # request work across the axis instead of duplicating it.
-        my = jax.lax.dynamic_slice(flat_p, (r * chunk,), (chunk,))
-        owner = jnp.clip(my // per, 0, n_rows - 1)
-        # Stable sort by owner -> contiguous per-owner buckets with static
-        # capacity `chunk` (worst case: every id to one owner).
-        order = jnp.argsort(owner)
-        sorted_ids = my[order]
-        sorted_owner = owner[order]
-        oh = jax.nn.one_hot(sorted_owner, n_rows, dtype=jnp.int32)
-        within = (jnp.cumsum(oh, axis=0) - 1)[jnp.arange(chunk), sorted_owner]
-        req = jnp.zeros((n_rows, chunk), dtype=flat.dtype)
-        req = req.at[sorted_owner, within].set(sorted_ids)
-        # route requests to their owner shards
+        # 1. dedup: unique rank per position
+        order = jnp.argsort(flat)
+        sorted_ids = flat[order]
+        newseg = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]])
+        urank_sorted = jnp.cumsum(newseg) - 1            # [L]
+        urank = jnp.zeros((L,), urank_sorted.dtype).at[order].set(
+            jnp.minimum(urank_sorted, cap - 1))
+        n_uniq = urank_sorted[-1] + 1
+        cap_p = -(-cap // n_rows) * n_rows
+        uid = jnp.zeros((cap_p,), flat.dtype).at[
+            jnp.minimum(urank_sorted, cap - 1)].set(sorted_ids)
+        uid = jnp.where(jnp.arange(cap_p) < n_uniq, uid, 0)
+        # 2. bucket unique ids by owner (sorted -> searchsorted offsets)
+        owner = jnp.clip(uid // per, 0, n_rows - 1)
+        o_idx = jnp.argsort(owner)
+        req_ids = uid[o_idx]
+        req_owner = owner[o_idx]
+        starts = jnp.searchsorted(req_owner, jnp.arange(n_rows))
+        within = jnp.arange(cap_p) - starts[req_owner]
+        req = jnp.zeros((n_rows, cap_p), flat.dtype).at[
+            req_owner, within].set(req_ids)
+        # 3. exchange: requests out, embeddings back
         req_recv = jax.lax.all_to_all(
             req, ROWS_AXIS, split_axis=0, concat_axis=0)
-        local = req_recv - r * per                       # [n_rows, chunk]
+        local = req_recv - r * per                       # [n_rows, cap_p]
         ok = (local >= 0) & (local < per)
         emb = jnp.take(tbl, jnp.where(ok, local, 0), axis=0)
         emb = emb * ok[..., None].astype(emb.dtype)
-        # return responses to the requesters
         resp = jax.lax.all_to_all(
             emb, ROWS_AXIS, split_axis=0, concat_axis=0)
-        gathered = resp[sorted_owner, within]            # [chunk, d]
-        chunk_out = jnp.zeros((chunk, d), resp.dtype).at[order].set(gathered)
-        # reassemble the full id list's embeddings on every rows-shard
-        full = jax.lax.all_gather(chunk_out, ROWS_AXIS, axis=0, tiled=True)
-        return full[:n].reshape(ids_.shape + (d,))
+        # 4. un-bucket to unique-slot order, then un-dedup per position
+        uemb_sorted = resp[req_owner, within]            # [cap_p, d]
+        uemb = jnp.zeros((cap_p, d), resp.dtype).at[o_idx].set(uemb_sorted)
+        return uemb[urank].reshape(ids_.shape + (d,))
 
-    # check_vma=False: the final tiled all_gather makes the output genuinely
-    # replicated over 'rows', but VMA can't statically infer that.
-    return jax.shard_map(
+    both = P((DATA_AXIS, ROWS_AXIS))
+    out = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(ROWS_AXIS, None), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS), check_vma=False)(table, ids)
+        in_specs=(P(ROWS_AXIS, None), both),
+        out_specs=both)(table, ids_p)
+    return out[:n0] if n0_pad != n0 else out
 
 
-def make_lookup_fn(mesh: Mesh, mode: str):
+def make_lookup_fn(mesh: Mesh, mode: str, capacity: int = 0):
     """Embedding-lookup implementation for ShardingConfig.lookup_mode,
     pluggable into ScoreModel.lookup_fn. 'local'/None -> plain take (GSPMD
-    partitions it); 'psum'/'a2a' -> the explicit shard_map exchanges."""
+    partitions it); 'psum'/'a2a' -> the explicit shard_map exchanges.
+    `capacity`: a2a per-device unique-id buffer bound (0 = exact)."""
     import functools
     if mode in (None, "local"):
         return None
     if mode == "psum":
         return functools.partial(psum_lookup, mesh)
     if mode == "a2a":
-        return functools.partial(a2a_lookup, mesh)
+        return functools.partial(a2a_lookup, mesh, capacity=capacity)
     raise ValueError(f"unknown lookup_mode {mode}")
 
 

@@ -116,6 +116,21 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
     # to a mesh-divisible multiple, so shapes over-count)
     num_items = model.num_items
 
+    def _resample(mb, step_rng):
+        """Per-step neighbor re-draw (DataConfig.neighbor_resample): the
+        dataset stores a wider fan-out; each step samples a fresh uniform
+        subset down to the model fan-out, on device."""
+        if not cfg.data.neighbor_resample:
+            return mb
+        from .graph import subsample_neighbors
+        r1, r2 = jax.random.split(jax.random.fold_in(step_rng, 2))
+        mb = dict(mb)
+        mb["u_hist"], mb["u_cnt"] = subsample_neighbors(
+            mb["u_hist"], mb["u_cnt"], cfg.data.user_fanout, r1)
+        mb["i_hist"], mb["i_cnt"] = subsample_neighbors(
+            mb["i_hist"], mb["i_cnt"], cfg.data.item_fanout, r2)
+        return mb
+
     def train_step(state: TrainState, graph: DeviceGraph,
                    batch: Dict[str, jnp.ndarray], rng: jax.Array):
         u, i, t = batch["user"], batch["item"], batch["slot"]
@@ -139,7 +154,8 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
                 shifts = jax.random.choice(
                     step_rng, jnp.arange(1, max(B, 2), dtype=u.dtype),
                     (k,), replace=False)
-            mb = gather_candidate_batch(graph, u, i[:, None], t)
+            mb = _resample(gather_candidate_batch(graph, u, i[:, None], t),
+                           step_rng)
             mb["neg_shift"] = shifts
             negs = jnp.stack([jnp.roll(i, -s, axis=0) for s in shifts],
                              axis=1)                             # [B, k]
@@ -155,7 +171,8 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
             # candidates form: [positive | k negatives] per user — the
             # user-side gather/embed/grad runs once per user, not (1+k) times
             cand = jnp.concatenate([i[:, None], neg], axis=1)    # [B, 1+k]
-            mb = gather_candidate_batch(graph, u, cand, t)
+            mb = _resample(gather_candidate_batch(graph, u, cand, t),
+                           step_rng)
 
         def loss_fn(params):
             logits = model.apply({"params": params}, mb, train=True,
@@ -221,14 +238,15 @@ def make_train_loop(model: ScoreModel, cfg: Config) -> Callable:
     return train_loop
 
 
-def _stack_batches(it, k: int):
-    """Pull k host batches and stack to [k, B] arrays."""
+def _stack_batches(it, k: int, put=jnp.asarray):
+    """Pull k host batches and stack to [k, B] arrays (put: host->device,
+    sharded P(None, ('data','rows')) under a mesh)."""
     cols = {"user": [], "item": [], "slot": []}
     for _ in range(k):
         b = next(it)
         for key in cols:
             cols[key].append(b[key])
-    return {key: jnp.asarray(np.stack(v)) for key, v in cols.items()}
+    return {key: put(np.stack(v)) for key, v in cols.items()}
 
 
 def make_eval_step(model: ScoreModel) -> Callable:
@@ -311,11 +329,18 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
     state = init_state(cfg, model, graph, rng,
                        steps_per_epoch=it.steps_per_epoch)
     if mesh is not None:
+        from .sharding import stacked_batch_sharding
+        assert cfg.train.batch_size % mesh.size == 0, (
+            f"batch_size {cfg.train.batch_size} must divide over the "
+            f"{mesh.size}-device mesh (batch is sharded over both axes)")
         state = shard_state(mesh, state)
         _bs = batch_sharding(mesh)
+        _sbs = stacked_batch_sharding(mesh)
         put = lambda v: jax.device_put(jnp.asarray(v), _bs)
+        put_stacked = lambda v: jax.device_put(jnp.asarray(v), _sbs)
     else:
         put = jnp.asarray
+        put_stacked = jnp.asarray
     train_step = make_train_step(model, cfg)
     eval_step = make_eval_step(model)
 
@@ -345,8 +370,11 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
                       f"(best val auc {best['val_auc']:.4f})", flush=True)
     # Fuse K steps per dispatch (lax.scan) whenever no logging/eval boundary
     # falls inside the chunk — per-call dispatch latency through the device
-    # tunnel otherwise dominates the step time (BASELINE.md caveat).
-    train_loop = make_train_loop(model, cfg) if mesh is None else None
+    # tunnel otherwise dominates the step time (BASELINE.md caveat). Under a
+    # mesh the stacked [K, B] batches are device_put sharded
+    # P(None, ('data','rows')) so configs4 training is NOT
+    # one-dispatch-per-step either (VERDICT.md r1 #6).
+    train_loop = make_train_loop(model, cfg)
 
     def _next_boundary(s):
         nxt = [total_steps]
@@ -358,8 +386,8 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
     profiling = False
     while step < total_steps:
         chunk = min(_next_boundary(step) - step, 50)
-        if train_loop is not None and chunk > 1 and not cfg.train.profile_dir:
-            stacked = _stack_batches(it, chunk)
+        if chunk > 1 and not cfg.train.profile_dir:
+            stacked = _stack_batches(it, chunk, put=put_stacked)
             state, ms = train_loop(state, graph, stacked, rng)
             m = {k: v[-1] for k, v in ms.items()}
             step += chunk
@@ -416,6 +444,8 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
 
     if profiling:
         jax.profiler.stop_trace()
+    if ckpt is not None:
+        ckpt.wait()   # commit the last async save before we may exit
     final_params = (jax.device_put(best["params"])
                     if best["params"] is not None else state.params)
     test = evaluate(eval_step, final_params, graph, ds.test)

@@ -58,6 +58,68 @@ def test_sharded_lookup_grads(mesh, rng, lookup):
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6, atol=1e-6)
 
 
+def _a2a_exchange_bytes(mesh, table, ids, cap: int) -> int:
+    """Total bytes moved by the all-to-all pair, from the compiled HLO."""
+    import functools
+    import re
+    f = jax.jit(functools.partial(a2a_lookup, mesh, capacity=cap))
+    txt = f.lower(table, ids).compile().as_text()
+    total = 0
+    for line in txt.splitlines():
+        if not re.search(r"\) all-to-all\(", line):
+            continue
+        for _, dims in re.findall(r"(s32|f32)\[([\d,]+)\]", line):
+            total += 4 * int(np.prod([int(x) for x in dims.split(",")]))
+    assert total > 0, "no all-to-all found in compiled HLO"
+    return total
+
+
+def test_a2a_dedup_capacity_exact_and_shrinks(mesh, rng):
+    """VERDICT.md r1 #5: with a static unique-id capacity, (a) results stay
+    exact whenever capacity >= per-device unique count, and (b) the exchange
+    buffers (compiled collective bytes) shrink vs the exact worst case."""
+    V, d = 64, 16
+    table = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    # 256 ids over only 5 distinct values: <=5 uniques per device
+    ids = jnp.asarray((rng.integers(0, 5, size=(256,)) * 7 + 1
+                       ).astype(np.int32))
+    got = a2a_lookup(mesh, table, ids, capacity=8)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    full = _a2a_exchange_bytes(mesh, table, ids, 0)
+    capped = _a2a_exchange_bytes(mesh, table, ids, 8)
+    assert capped < full, (capped, full)
+
+
+def test_a2a_dedup_grads_with_duplicates(mesh, rng):
+    """Duplicate-heavy grads pre-reduce before the return exchange and land
+    on the right rows (capacity-bounded path)."""
+    V, d = 64, 8
+    table = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    ids = jnp.asarray((rng.integers(0, 6, size=(64,)) * 9 + 2
+                       ).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(64, d)).astype(np.float32))
+
+    def loss(t):
+        return jnp.sum(a2a_lookup(mesh, t, ids, capacity=8) * w)
+
+    g = jax.grad(loss)(table)
+    want = np.zeros((V, d), np.float32)
+    np.add.at(want, np.asarray(ids), np.asarray(w))
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-5, atol=1e-5)
+
+
+def test_a2a_responses_are_data_sharded(mesh, rng):
+    """The v2 exchange returns responses sharded over BOTH mesh axes — no
+    replicating all_gather (VERDICT.md r1 #5 'data-sharded responses')."""
+    table = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    ids = jax.device_put(
+        jnp.asarray(rng.integers(0, 64, size=(128,)).astype(np.int32)),
+        batch_sharding(mesh))
+    out = a2a_lookup(mesh, table, ids)
+    assert out.sharding.spec == P(("data", "rows"))
+
+
 def test_pad_rows():
     t = jnp.ones((10, 4))
     p = pad_rows(t, 4)
@@ -169,10 +231,13 @@ def test_a2a_train_step_matches_local(mesh, tiny_dataset):
     s_a2a, ma = make_train_step(m_a2a, cfg)(s_a2a, g, batch, rng)
     np.testing.assert_allclose(float(ml["loss"]), float(ma["loss"]),
                                rtol=1e-6)
+    # a2a dedup pre-reduces duplicate grad rows before the return exchange,
+    # so grad summation order differs from the local scatter-add -> float
+    # associativity tolerance, not bit-exactness.
     for a, b in zip(jax.tree_util.tree_leaves(s_local.params),
                     jax.tree_util.tree_leaves(s_a2a.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-7)
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_configs4_driver_end_to_end(tiny_dataset):

@@ -209,3 +209,52 @@ def test_warmup_schedule_starts_small():
     # step 0 of a 0-init linear warmup: lr == 0 -> params unchanged
     np.testing.assert_allclose(np.asarray(before), np.asarray(after),
                                atol=1e-7)
+
+
+def test_subsample_neighbors_uniform_and_exact():
+    """graph.subsample_neighbors: (a) keeps all valid entries when cnt <= k,
+    (b) draws a uniform without-replacement k-subset when cnt > k, (c) new
+    counts clamp to k."""
+    from score_tpu.graph import subsample_neighbors
+
+    hist = jnp.asarray(np.arange(1, 13).reshape(1, 12).astype(np.int32))
+    # cnt < k: all 3 valid ids survive, in some order
+    cnt = jnp.asarray([3], np.int32)
+    h2, c2 = subsample_neighbors(hist, cnt, 8, jax.random.PRNGKey(0))
+    assert h2.shape == (1, 8) and int(c2[0]) == 3
+    assert set(np.asarray(h2[0, :3]).tolist()) == {1, 2, 3}
+    # cnt > k: each valid id appears with ~uniform frequency over draws
+    cnt = jnp.asarray([12], np.int32)
+    counts = np.zeros(13)
+    draws = 400
+    for s in range(draws):
+        h3, c3 = subsample_neighbors(hist, cnt, 4, jax.random.PRNGKey(s))
+        assert int(c3[0]) == 4
+        sel = np.asarray(h3[0])
+        assert len(set(sel.tolist())) == 4      # no replacement
+        counts[sel] += 1
+    freq = counts[1:] / draws
+    np.testing.assert_allclose(freq, 4 / 12, atol=0.08)
+
+
+def test_neighbor_resample_train_step_runs(tiny_dataset):
+    """Train step with per-step neighbor re-sampling: model fan-out smaller
+    than the stored fan-out, loss stays finite."""
+    from score_tpu.config import configs3
+    from score_tpu.train import make_train_step
+
+    cfg = configs3()
+    cfg = cfg.replace(data=cfg.data.__class__(
+        user_fanout=3, item_fanout=3, neighbor_resample=True))
+    g = device_graph(tiny_dataset.graph)     # stores fanout 6 (conftest)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    B = 8
+    batch = {
+        "user": jnp.asarray(tiny_dataset.train.user[:B]),
+        "item": jnp.asarray(tiny_dataset.train.item[:B]),
+        "slot": jnp.asarray(tiny_dataset.train.slot[:B]),
+    }
+    state, m = make_train_step(model, cfg)(state, g, batch,
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
