@@ -11,9 +11,12 @@ matmuls (n, m <= ~32, d <= ~64) still feed the MXU as [TILE_G*n, d]-shaped
 contractions.
 
 Equivalence contract: bit-level-close (f32) to
-score_tpu.nn.coattn.cross_coattn_ref — gated by tests/test_kernels.py.
-Backward: custom_vjp recomputes through the jnp reference (forward-fused,
-backward XLA); a fused backward kernel is a later optimization.
+score_tpu.nn.coattn.cross_coattn_ref — gated by tests/test_kernels.py,
+forward AND grads. Backward: a second fused Pallas kernel for pool in
+('sum', 'mean') that recomputes su/si/a/b in-VMEM and fuses both
+softmax-VJPs and all four weighted-sum VJPs, accumulating dWr across the
+sequential grid (VERDICT.md r1 #3); pool='max' falls back to a jnp
+recompute VJP.
 """
 
 from __future__ import annotations
@@ -47,12 +50,17 @@ def _coattn_kernel(Eu_ref, Ei_ref, mu_ref, mi_ref, eu_ref, ei_ref, Wr_ref,
     EuW = jnp.dot(Eu.reshape(G * n, d), Wr_ref[:],
                   preferred_element_type=jnp.float32).reshape(G, n, d)
 
-    if pool == "sum":
+    if pool in ("sum", "mean"):
         # Sum-pool identity (see nn/coattn.py): pooled scores via masked
         # opposite-side sums — no [G, n, m] relation tensor, no batched
-        # tiny matmuls.
+        # tiny matmuls. 'mean' count-normalizes the opposite-side sums.
         Ei_sum = jnp.sum(Ei * mi[:, :, None], axis=1)    # [G, d]
         EuW_sum = jnp.sum(EuW * mu[:, :, None], axis=1)  # [G, d]
+        if pool == "mean":
+            Ei_sum = Ei_sum / jnp.maximum(
+                jnp.sum(mi, axis=1, keepdims=True), 1.0)
+            EuW_sum = EuW_sum / jnp.maximum(
+                jnp.sum(mu, axis=1, keepdims=True), 1.0)
         su = jnp.sum(EuW * Ei_sum[:, None, :], axis=2) * scale   # [G, n]
         si = jnp.sum(Ei * EuW_sum[:, None, :], axis=2) * scale   # [G, m]
     else:  # max
@@ -137,11 +145,148 @@ def _coattn_fwd_pallas(Eu, Ei, mu, mi, Wr, eu, ei, *, pool: str,
     return cu, ci
 
 
+def _coattn_bwd_kernel(Eu_ref, Ei_ref, mu_ref, mi_ref, eu_ref, ei_ref, Wr_ref,
+                       dcu_ref, dci_ref,
+                       dEu_ref, dEi_ref, deu_ref, dei_ref, dWr_ref,
+                       *, pool: str, target_aware: bool):
+    """Fused backward (VERDICT.md r1 #3): recomputes su/si/a/b in-kernel and
+    fuses both softmax-VJPs and all four weighted-sum VJPs; dWr accumulates
+    across the sequential TPU grid into one revisited [d, d] block."""
+    Eu = Eu_ref[:]
+    Ei = Ei_ref[:]
+    mu = mu_ref[:]
+    mi = mi_ref[:]
+    dcu = dcu_ref[:]
+    dci = dci_ref[:]
+    G, n, d = Eu.shape
+    m = Ei.shape[1]
+    scale = jax.lax.rsqrt(jnp.asarray(float(d), jnp.float32))
+
+    # --- forward recompute (cheap; saves an HBM round-trip of a/b) ---
+    EuW = jnp.dot(Eu.reshape(G * n, d), Wr_ref[:],
+                  preferred_element_type=jnp.float32).reshape(G, n, d)
+    Si = jnp.sum(Ei * mi[:, :, None], axis=1)            # [G, d]
+    Su = jnp.sum(EuW * mu[:, :, None], axis=1)           # [G, d]
+    if pool == "mean":
+        cnti = jnp.maximum(jnp.sum(mi, axis=1, keepdims=True), 1.0)
+        cntu = jnp.maximum(jnp.sum(mu, axis=1, keepdims=True), 1.0)
+        Si = Si / cnti
+        Su = Su / cntu
+    su = jnp.sum(EuW * Si[:, None, :], axis=2) * scale   # [G, n]
+    si = jnp.sum(Ei * Su[:, None, :], axis=2) * scale    # [G, m]
+    if target_aware:
+        su = su + jnp.sum(Eu * ei_ref[:][:, None, :], axis=2) * scale
+        si = si + jnp.sum(Ei * eu_ref[:][:, None, :], axis=2) * scale
+
+    def _masked_softmax(s, mask):
+        s = jnp.where(mask > 0, s, _NEG)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s) * mask
+        return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+
+    a = _masked_softmax(su, mu)                          # [G, n]
+    b = _masked_softmax(si, mi)                          # [G, m]
+
+    # --- weighted-sum VJP: cu = a^T Eu, ci = b^T Ei ---
+    da = jnp.sum(Eu * dcu[:, None, :], axis=2)           # [G, n]
+    db = jnp.sum(Ei * dci[:, None, :], axis=2)           # [G, m]
+    dEu = a[:, :, None] * dcu[:, None, :]                # [G, n, d]
+    dEi = b[:, :, None] * dci[:, None, :]                # [G, m, d]
+    # --- softmax VJP (masked rows give a=0 -> dsu=0) ---
+    dsu = a * (da - jnp.sum(a * da, axis=-1, keepdims=True))   # [G, n]
+    dsi = b * (db - jnp.sum(b * db, axis=-1, keepdims=True))   # [G, m]
+    # --- score VJPs ---
+    dEuW = scale * dsu[:, :, None] * Si[:, None, :]      # [G, n, d]
+    dSi = scale * jnp.sum(dsu[:, :, None] * EuW, axis=1)  # [G, d]
+    dEi += scale * dsi[:, :, None] * Su[:, None, :]
+    dSu = scale * jnp.sum(dsi[:, :, None] * Ei, axis=1)   # [G, d]
+    if target_aware:
+        dEu += scale * dsu[:, :, None] * ei_ref[:][:, None, :]
+        dei_ref[:] = scale * jnp.sum(dsu[:, :, None] * Eu, axis=1)
+        dEi += scale * dsi[:, :, None] * eu_ref[:][:, None, :]
+        deu_ref[:] = scale * jnp.sum(dsi[:, :, None] * Ei, axis=1)
+    else:
+        dei_ref[:] = jnp.zeros((G, d), jnp.float32)
+        deu_ref[:] = jnp.zeros((G, d), jnp.float32)
+    # --- opposite-side sum VJPs ---
+    if pool == "mean":
+        dSi = dSi / cnti
+        dSu = dSu / cntu
+    dEi += mi[:, :, None] * dSi[:, None, :]
+    dEuW += mu[:, :, None] * dSu[:, None, :]
+    # --- EuW = Eu Wr ---
+    dEu += jnp.dot(dEuW.reshape(G * n, d), Wr_ref[:].T,
+                   preferred_element_type=jnp.float32).reshape(G, n, d)
+    dEu_ref[:] = dEu
+    dEi_ref[:] = dEi
+    dWr_tile = jnp.dot(Eu.reshape(G * n, d).T, dEuW.reshape(G * n, d),
+                       preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dWr_ref[:] = jnp.zeros_like(dWr_ref)
+
+    dWr_ref[:] += dWr_tile
+
+
+def _coattn_bwd_pallas(Eu, Ei, mu, mi, Wr, eu, ei, dcu, dci, *, pool: str,
+                       target_aware: bool, tile_g: int = 64,
+                       interpret: bool = False):
+    B, T, n, d = Eu.shape
+    m = Ei.shape[2]
+    G = B * T
+    Gp = -(-G // tile_g) * tile_g
+
+    def flat(x, shape):
+        x = x.reshape((G,) + shape)
+        if Gp != G:
+            x = jnp.pad(x, ((0, Gp - G),) + ((0, 0),) * len(shape))
+        return x
+
+    Euf = flat(Eu.astype(jnp.float32), (n, d))
+    Eif = flat(Ei.astype(jnp.float32), (m, d))
+    muf = flat(mu.astype(jnp.float32), (n,))
+    mif = flat(mi.astype(jnp.float32), (m,))
+    euf = flat(jnp.broadcast_to(eu[:, None, :], (B, T, d)).astype(jnp.float32),
+               (d,))
+    eif = flat(jnp.broadcast_to(ei[:, None, :], (B, T, d)).astype(jnp.float32),
+               (d,))
+    dcuf = flat(dcu.astype(jnp.float32), (d,))
+    dcif = flat(dci.astype(jnp.float32), (d,))
+
+    grid = (Gp // tile_g,)
+    bs = lambda shape: pl.BlockSpec((tile_g,) + shape,
+                                    lambda g: (g,) + (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    wr_spec = pl.BlockSpec((d, d), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    dEu, dEi, deu, dei, dWr = pl.pallas_call(
+        functools.partial(_coattn_bwd_kernel, pool=pool,
+                          target_aware=target_aware),
+        grid=grid,
+        in_specs=[bs((n, d)), bs((m, d)), bs((n,)), bs((m,)),
+                  bs((d,)), bs((d,)), wr_spec, bs((d,)), bs((d,))],
+        out_specs=(bs((n, d)), bs((m, d)), bs((d,)), bs((d,)), wr_spec),
+        out_shape=(jax.ShapeDtypeStruct((Gp, n, d), jnp.float32),
+                   jax.ShapeDtypeStruct((Gp, m, d), jnp.float32),
+                   jax.ShapeDtypeStruct((Gp, d), jnp.float32),
+                   jax.ShapeDtypeStruct((Gp, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d, d), jnp.float32)),
+        interpret=interpret,
+    )(Euf, Eif, muf, mif, euf, eif, Wr.astype(jnp.float32), dcuf, dcif)
+    # undo flatten/pad; eu/ei were broadcast over T -> sum the T axis back
+    dEu = dEu[:G].reshape(B, T, n, d).astype(Eu.dtype)
+    dEi = dEi[:G].reshape(B, T, m, d).astype(Ei.dtype)
+    deu = deu[:G].reshape(B, T, d).sum(axis=1).astype(eu.dtype)
+    dei = dei[:G].reshape(B, T, d).sum(axis=1).astype(ei.dtype)
+    return dEu, dEi, dWr.astype(Wr.dtype), deu, dei
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def cross_coattn_pallas(Eu, Ei, mu, mi, Wr, eu, ei, pool: str = "sum",
                         target_aware: bool = True, interpret: bool = False):
-    """Fused co-attention; forward = Pallas kernel, backward = recompute
-    through the jnp reference (identical math)."""
+    """Fused co-attention; forward AND backward are Pallas kernels for
+    pool in ('sum', 'mean'); pool='max' falls back to a jnp-reference
+    backward (jax.vjp recompute)."""
     return _coattn_fwd_pallas(Eu, Ei, mu, mi, Wr, eu, ei, pool=pool,
                               target_aware=target_aware, interpret=interpret)
 
@@ -154,6 +299,11 @@ def _fwd(Eu, Ei, mu, mi, Wr, eu, ei, pool, target_aware, interpret):
 
 def _bwd(pool, target_aware, interpret, res, g):
     Eu, Ei, mu, mi, Wr, eu, ei = res
+    if pool in ("sum", "mean"):
+        dEu, dEi, dWr, deu, dei = _coattn_bwd_pallas(
+            Eu, Ei, mu, mi, Wr, eu, ei, g[0], g[1], pool=pool,
+            target_aware=target_aware, interpret=interpret)
+        return dEu, dEi, None, None, dWr, deu, dei
     _, vjp = jax.vjp(
         lambda Eu_, Ei_, Wr_, eu_, ei_: cross_coattn_ref(
             Eu_, Ei_, mu, mi, Wr_, eu_, ei_, pool=pool,

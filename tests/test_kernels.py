@@ -34,7 +34,7 @@ SHAPES = [
 
 
 @pytest.mark.parametrize("B,T,n,m,d", SHAPES)
-@pytest.mark.parametrize("pool", ["sum", "max"])
+@pytest.mark.parametrize("pool", ["sum", "mean", "max"])
 @pytest.mark.parametrize("target_aware", [True, False])
 def test_coattn_kernel_matches_ref(rng, B, T, n, m, d, pool, target_aware):
     Eu, Ei, mu, mi, Wr, eu, ei = _inputs(rng, B, T, n, m, d)
@@ -48,22 +48,52 @@ def test_coattn_kernel_matches_ref(rng, B, T, n, m, d, pool, target_aware):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_coattn_kernel_grads_match_ref(rng):
+@pytest.mark.parametrize("pool", ["sum", "mean", "max"])
+@pytest.mark.parametrize("target_aware", [True, False])
+def test_coattn_kernel_grads_match_ref(rng, pool, target_aware):
+    """Gates the FUSED Pallas backward kernel (pool sum/mean; VERDICT.md r1
+    #3) and the jnp-recompute fallback (max) against jax.vjp of the
+    reference, on the interpret grid incl. fully-padded slots."""
     B, T, n, m, d = 2, 4, 6, 7, 16
     Eu, Ei, mu, mi, Wr, eu, ei = _inputs(rng, B, T, n, m, d)
 
     def loss_ref(Eu_, Ei_, Wr_, eu_, ei_):
-        cu, ci = cross_coattn_ref(Eu_, Ei_, mu, mi, Wr_, eu_, ei_)
+        cu, ci = cross_coattn_ref(Eu_, Ei_, mu, mi, Wr_, eu_, ei_,
+                                  pool=pool, target_aware=target_aware)
         return jnp.sum(cu ** 2) + jnp.sum(ci * cu)
 
     def loss_pal(Eu_, Ei_, Wr_, eu_, ei_):
         cu, ci = cross_coattn_pallas(Eu_, Ei_, mu, mi, Wr_, eu_, ei_,
-                                     "sum", True, True)
+                                     pool, target_aware, True)
         return jnp.sum(cu ** 2) + jnp.sum(ci * cu)
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(Eu, Ei, Wr, eu, ei)
     g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(Eu, Ei, Wr, eu, ei)
+    # f32 with different reduction orders (fused kernel vs XLA): ~1e-5-scale
+    # absolute noise on O(1)-O(10) grads is expected, not a math mismatch
     for gr, gp, name in zip(g_ref, g_pal, ["Eu", "Ei", "Wr", "eu", "ei"]):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-5, err_msg=name)
+
+
+def test_coattn_bwd_kernel_multi_tile(rng):
+    """dWr accumulates across >1 grid tiles (G > tile_g)."""
+    B, T, n, m, d = 6, 4, 3, 4, 8
+    Eu, Ei, mu, mi, Wr, eu, ei = _inputs(rng, B, T, n, m, d)
+
+    from score_tpu.kernels.coattn import _coattn_bwd_pallas
+    gcu = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))
+    gci = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))
+    got = _coattn_bwd_pallas(Eu, Ei, mu, mi, Wr, eu, ei, gcu, gci,
+                             pool="sum", target_aware=True, tile_g=8,
+                             interpret=True)
+
+    def loss(Eu_, Ei_, Wr_, eu_, ei_):
+        cu, ci = cross_coattn_ref(Eu_, Ei_, mu, mi, Wr_, eu_, ei_)
+        return jnp.sum(cu * gcu) + jnp.sum(ci * gci)
+
+    want = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(Eu, Ei, Wr, eu, ei)
+    for gp, gr, name in zip(got, want, ["Eu", "Ei", "Wr", "eu", "ei"]):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    rtol=1e-5, atol=1e-5, err_msg=name)
 
