@@ -194,6 +194,20 @@ class CrossCoAttention(nn.Module):
         # aggregation (see SlotAttention note)
         Wr = self.param("wr", nn.initializers.zeros_init(), (d, d))
         Wr = Wr.astype(Eu.dtype)  # f32 master param, compute-dtype activations
+        if self.target_aware:
+            # Learned target-query projections (identity init == the raw-dot
+            # target-aware terms of SURVEY.md §2.4 step 3). Without these,
+            # SlotAttention's learned W query can be CRISPER than raw
+            # Eu·ei on targets with informative embeddings, letting configs2
+            # edge configs3 — with them the co-attention rung strictly
+            # subsumes per-side target-aware attention (VERDICT.md r1 #1).
+            eye = lambda key, shape, dtype=jnp.float32: jnp.eye(
+                shape[0], dtype=dtype)
+            Wtu = self.param("wtu", eye, (d, d)).astype(Eu.dtype)
+            Wti = self.param("wti", eye, (d, d)).astype(Eu.dtype)
+            # project once per target: O(B C d^2), not O(B C T k d^2)
+            ei = jnp.einsum("de,bce->bcd", Wtu, ei)
+            eu = jnp.einsum("de,be->bd", Wti, eu)
 
         # The flat per-pair path tiles the shared user side to [B*C, ...]
         # (materializes C copies of the biggest tensors): required for
