@@ -30,6 +30,11 @@ BATCH = 4096            # sweep (scripts/perf_sweep.py): 4096 > 2048 > 8192
 EMBED_DIM = 32
 COMPUTE_DTYPE = "bfloat16"  # true-bf16 activation chain; quality-gated vs
                             # f32 by scripts/bf16_quality.py (BASELINE.md)
+NEG_MODE = "inbatch_iw"  # importance-weighted in-batch negatives: zero
+                         # negative-side gathers/scatter-adds; quality-gated
+                         # vs 'uniform' by scripts/negmode_quality.py — val
+                         # AUC 0.7790 vs 0.7557 (BETTER, not just parity;
+                         # BASELINE.md round-2 row)
 STEPS_PER_CALL = 50     # K steps fused into one dispatch (lax.scan)
 TRAIN_CALLS = 8
 LATENCY_ITERS = 200
@@ -62,13 +67,17 @@ def main() -> None:
         embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
         sides="dual", slot_agg="coattn", seq_pool="attn", target_aware=True,
         compute_dtype=COMPUTE_DTYPE),
+        data=cfg.data.__class__(train_neg_mode=NEG_MODE),
         train=cfg.train.__class__(batch_size=BATCH))
     graph = device_graph(ds.graph)
     model = build_model(cfg, ds.num_users, ds.num_items)
     rng = jax.random.PRNGKey(0)
     state = init_state(cfg, model, graph, rng)
-    from score_tpu.train import _stack_batches, make_train_loop
-    train_loop = make_train_loop(model, cfg)
+    from score_tpu.train import (_stack_batches, item_importance_weights,
+                                 make_train_loop)
+    neg_iw = (jnp.asarray(item_importance_weights(ds.train, ds.num_items))
+              if NEG_MODE == "inbatch_iw" else None)
+    train_loop = make_train_loop(model, cfg, neg_iw=neg_iw)
     eval_step = make_eval_step(model)
 
     it = TargetIterator(ds.train, BATCH, seed=0)

@@ -83,6 +83,14 @@ class DataConfig:
     #              (the dominant step cost, BASELINE.md scatter roofline).
     #              Negatives are popularity-distributed (in-batch sampling's
     #              usual bias); quality-gated vs 'uniform' before use.
+    #              Measured: +43% examples/s but -0.10 val AUC (the bias) —
+    #              use 'inbatch_iw' instead.
+    #   'inbatch_iw'  'inbatch' + importance weights on the negative BCE
+    #              terms: w_j = uniform(j)/q(j) = num_events/(num_items *
+    #              train_count_j), making the expected negative gradient
+    #              equal to uniform sampling's while keeping the zero-gather
+    #              speed (bce_loss is a weighted mean, so the estimator is
+    #              self-normalized).
     train_neg_mode: str = "uniform"
     # Per-step on-device neighbor re-sampling (reference sampler semantics,
     # SURVEY.md §2.3 #5): prep the dataset with a WIDER fan-out than
@@ -91,7 +99,7 @@ class DataConfig:
     neighbor_resample: bool = False
 
     def __post_init__(self):
-        assert self.train_neg_mode in ("uniform", "inbatch"), \
+        assert self.train_neg_mode in ("uniform", "inbatch", "inbatch_iw"), \
             self.train_neg_mode
 
 

@@ -26,7 +26,8 @@ def synth_events(num_users: int, num_items: int, num_events: int,
                  num_communities: int = 16, burst_rho: float = 0.7,
                  burst_scale: float = 2.0, sig_frac: float = 0.5,
                  junk_frac: float = 0.3, junk_item_frac: float = 0.02,
-                 stable_frac: float = 0.5, persist: float = 0.75):
+                 stable_frac: float = 0.5, persist: float = 0.75,
+                 drift_active: float = 1.0):
     """Event generator -> (user, item, ts) int arrays.
 
     mode='latent': static latent factors + popularity + slow drift. A strong
@@ -75,7 +76,8 @@ def synth_events(num_users: int, num_items: int, num_events: int,
         return _crossattr_events(
             rng, num_users, num_items, num_events, num_slots,
             num_communities, sig_frac, junk_frac, junk_item_frac,
-            stable_frac=stable_frac, persist=persist)
+            stable_frac=stable_frac, persist=persist,
+            drift_active=drift_active)
     pu = rng.normal(size=(num_users, latent_dim)).astype(np.float32)
     qi = rng.normal(size=(num_items, latent_dim)).astype(np.float32)
     # Popularity: zipf-ish item bias.
@@ -135,8 +137,15 @@ def _markov_chain(rng, n: int, num_slots: int, A: int,
 def _crossattr_events(rng, num_users: int, num_items: int, num_events: int,
                       num_slots: int, A: int, sig_frac: float,
                       junk_frac: float, junk_item_frac: float,
-                      stable_frac: float = 0.5, persist: float = 0.75):
-    """See synth_events(mode='crossattr'). Vectorized per slot."""
+                      stable_frac: float = 0.5, persist: float = 0.75,
+                      drift_active: float = 1.0):
+    """See synth_events(mode='crossattr'). Vectorized per slot.
+
+    drift_active > 1 makes DRIFTING users proportionally more active, so
+    both train and (time-split) eval targets skew toward the users whose
+    static embedding cannot carry their current attr — the quadrant where
+    per-side target-aware attention (configs2) has no usable query and
+    cross co-attention's neighbor-pair evidence is the only signal."""
     n_junk = min(max(int(junk_item_frac * num_items), 1), num_items - 1)
     perm = rng.permutation(num_items)
     junk_items = perm[:n_junk]
@@ -157,7 +166,12 @@ def _crossattr_events(rng, num_users: int, num_items: int, num_events: int,
     a[:, n_stable_u:] = _markov_chain(rng, num_users - n_stable_u,
                                       num_slots, A, persist)
 
-    users = rng.integers(0, num_users, size=num_events)
+    if drift_active != 1.0:
+        w_u = np.ones(num_users)
+        w_u[n_stable_u:] = drift_active
+        users = rng.choice(num_users, size=num_events, p=w_u / w_u.sum())
+    else:
+        users = rng.integers(0, num_users, size=num_events)
     slots = rng.integers(0, num_slots, size=num_events)
     items = np.empty(num_events, dtype=np.int64)
     etype = rng.random(num_events)

@@ -17,6 +17,15 @@ forward AND grads. Backward: a second fused Pallas kernel for pool in
 softmax-VJPs and all four weighted-sum VJPs, accumulating dWr across the
 sequential grid (VERDICT.md r1 #3); pool='max' falls back to a jnp
 recompute VJP.
+
+Measured status (round 2, scripts/perf_sweep.py, BASELINE.md): NOT the
+training default. Even with the fused backward, use_pallas=True trains at
+81.1k examples/s vs 114.0k for the jnp path (bf16, batch 4096): the kernel
+requires the tiled per-pair [B*C, ...] form, while the jnp path's
+candidates-form unrolling keeps the shared user side candidate-free — the
+structural win dominates the fusion win at C=2. The kernel remains the
+fused option for per-pair workloads (pool='max', eval-time C>>8 scoring)
+and the equivalence-gated reference for any future revisit.
 """
 
 from __future__ import annotations

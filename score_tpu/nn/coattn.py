@@ -195,16 +195,18 @@ class CrossCoAttention(nn.Module):
         Wr = self.param("wr", nn.initializers.zeros_init(), (d, d))
         Wr = Wr.astype(Eu.dtype)  # f32 master param, compute-dtype activations
         if self.target_aware:
-            # Learned target-query projections (identity init == the raw-dot
-            # target-aware terms of SURVEY.md §2.4 step 3). Without these,
-            # SlotAttention's learned W query can be CRISPER than raw
-            # Eu·ei on targets with informative embeddings, letting configs2
-            # edge configs3 — with them the co-attention rung strictly
-            # subsumes per-side target-aware attention (VERDICT.md r1 #1).
-            eye = lambda key, shape, dtype=jnp.float32: jnp.eye(
-                shape[0], dtype=dtype)
-            Wtu = self.param("wtu", eye, (d, d)).astype(Eu.dtype)
-            Wti = self.param("wti", eye, (d, d)).astype(Eu.dtype)
+            # Learned target-query projections, ZERO-init like every other
+            # attention weight here: configs3 then starts as exact dual
+            # masked-mean (configs1 behavior) and learns the same target
+            # query configs2 learns PLUS the cross relation — strictly
+            # subsuming per-side attention with a matched optimization
+            # prior (VERDICT.md r1 #1). Identity init (raw-dot queries) was
+            # tried first and lost: starting with non-uniform attention is
+            # the same trap round 1 hit with random init.
+            Wtu = self.param("wtu", nn.initializers.zeros_init(),
+                             (d, d)).astype(Eu.dtype)
+            Wti = self.param("wti", nn.initializers.zeros_init(),
+                             (d, d)).astype(Eu.dtype)
             # project once per target: O(B C d^2), not O(B C T k d^2)
             ei = jnp.einsum("de,bce->bcd", Wtu, ei)
             eu = jnp.einsum("de,be->bd", Wti, eu)

@@ -100,8 +100,23 @@ def _resample_collisions(neg: jnp.ndarray, pos: jnp.ndarray,
     return jnp.where(shifted > num_items, 1, shifted)
 
 
+def item_importance_weights(train_split, num_items: int) -> np.ndarray:
+    """Per-item importance weights for train_neg_mode='inbatch_iw':
+    w_j = uniform(j) / q(j) where q is the in-batch negative distribution
+    (= empirical train popularity, since negatives are rolled positives).
+    E_q[w] = 1, so the weighted BCE mean keeps its scale. Items absent from
+    the train split can never appear as in-batch negatives; their slot is 0.
+    """
+    cnt = np.bincount(np.asarray(train_split.item),
+                      minlength=num_items + 1).astype(np.float64)
+    w = train_split.item.size / (num_items * np.maximum(cnt, 1.0))
+    w[cnt == 0] = 0.0
+    return w.astype(np.float32)
+
+
 def _make_train_step_fn(model: ScoreModel, cfg: Config,
-                        with_auc: bool = True) -> Callable:
+                        with_auc: bool = True,
+                        neg_iw: Optional[jnp.ndarray] = None) -> Callable:
     """Unjitted single-step body (shared by make_train_step / make_train_loop).
 
     with_auc=False returns the step's logits instead of the batch AUC: the
@@ -140,7 +155,7 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
             [jnp.ones((B, 1), jnp.float32),
              jnp.zeros((B, k), jnp.float32)], axis=1)
         weights = None
-        if neg_mode == "inbatch":
+        if neg_mode in ("inbatch", "inbatch_iw"):
             # negatives = batch-axis rolls of the positives: only the
             # positives' item-side histories are ever gathered; the model
             # rolls the *embedded* tensors (see ScoreModel.score_candidates)
@@ -161,9 +176,15 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
                              axis=1)                             # [B, k]
             # a rolled positive can collide with the example's own positive
             # (hot items): drop those elements from the loss
+            neg_w = (negs != i[:, None]).astype(jnp.float32)
+            if neg_mode == "inbatch_iw":
+                # importance-correct the popularity-sampled negatives back
+                # to uniform (see item_importance_weights)
+                assert neg_iw is not None, \
+                    "inbatch_iw needs item_importance_weights(ds.train, ...)"
+                neg_w = neg_w * neg_iw[negs]
             weights = jnp.concatenate(
-                [jnp.ones((B, 1), jnp.float32),
-                 (negs != i[:, None]).astype(jnp.float32)], axis=1)
+                [jnp.ones((B, 1), jnp.float32), neg_w], axis=1)
         else:
             neg = jax.random.randint(step_rng, (B, k), 1, num_items + 1,
                                      dtype=u.dtype)
@@ -199,12 +220,14 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
     return train_step
 
 
-def make_train_step(model: ScoreModel, cfg: Config) -> Callable:
+def make_train_step(model: ScoreModel, cfg: Config,
+                    neg_iw: Optional[jnp.ndarray] = None) -> Callable:
     return functools.partial(jax.jit, donate_argnums=(0,))(
-        _make_train_step_fn(model, cfg))
+        _make_train_step_fn(model, cfg, neg_iw=neg_iw))
 
 
-def make_train_loop(model: ScoreModel, cfg: Config) -> Callable:
+def make_train_loop(model: ScoreModel, cfg: Config,
+                    neg_iw: Optional[jnp.ndarray] = None) -> Callable:
     """Multi-step training: K steps per dispatch via lax.scan.
 
     Per-call dispatch latency dominates single-step timing on this setup
@@ -212,7 +235,7 @@ def make_train_loop(model: ScoreModel, cfg: Config) -> Callable:
     driver stages K batches as one [K, B] device array and runs the whole
     chunk inside one jitted call — the TPU-idiomatic train-loop-in-jit.
     Returns (state, stacked-metrics)."""
-    step_fn = _make_train_step_fn(model, cfg, with_auc=False)
+    step_fn = _make_train_step_fn(model, cfg, with_auc=False, neg_iw=neg_iw)
     k = cfg.data.num_train_neg
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -341,7 +364,11 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
     else:
         put = jnp.asarray
         put_stacked = jnp.asarray
-    train_step = make_train_step(model, cfg)
+    neg_iw = None
+    if cfg.data.train_neg_mode == "inbatch_iw":
+        neg_iw = jnp.asarray(item_importance_weights(ds.train,
+                                                     ds.num_items))
+    train_step = make_train_step(model, cfg, neg_iw=neg_iw)
     eval_step = make_eval_step(model)
 
     steps_per_epoch = it.steps_per_epoch
@@ -374,7 +401,7 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
     # mesh the stacked [K, B] batches are device_put sharded
     # P(None, ('data','rows')) so configs4 training is NOT
     # one-dispatch-per-step either (VERDICT.md r1 #6).
-    train_loop = make_train_loop(model, cfg)
+    train_loop = make_train_loop(model, cfg, neg_iw=neg_iw)
 
     def _next_boundary(s):
         nxt = [total_steps]

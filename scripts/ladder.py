@@ -8,6 +8,11 @@ the identical train/eval protocol — the paper-§4.3-style comparison table
 where full SCoRe (configs3) should lead.
 
 Usage: python scripts/ladder.py [out_json] [dataset] [epochs] [--baselines]
+           [mode=collab|crossattr|latent] [gen knob k=v ...]
+
+mode=crossattr uses the cross-side relational generator (VERDICT.md r1 #1)
+with the skew defaults that make the co-attention rung's advantage
+measurable (drift_active=3, sig_frac=0.7, junk_frac=0.2 — see BASELINE.md).
 """
 
 import json
@@ -21,16 +26,25 @@ from score_tpu.train import train
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--baselines"]
+    kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    args = [a for a in sys.argv[1:] if a != "--baselines" and "=" not in a]
     with_baselines = "--baselines" in sys.argv[1:]
     from score_tpu.data.prep_datasets import PREP
     out_path = args[0] if len(args) > 0 else "/tmp/ladder.json"
     dataset = args[1] if len(args) > 1 else "taobao"
     epochs = int(args[2]) if len(args) > 2 else 3
+    mode = kv.pop("mode", "collab")
+    gen_kw = dict(num_users=3000, num_items=6000, num_events=400_000,
+                  mode=mode)
+    if mode == "crossattr":
+        gen_kw.update(drift_active=3.0, sig_frac=0.7, junk_frac=0.2)
+    gen_kw.update({k: float(v) if "." in v else int(v)
+                   for k, v in kv.items()})
 
-    ds = PREP[dataset](f"/tmp/score_tpu_data/ladder_{dataset}",
-                       synth_kw=dict(num_users=3000, num_items=6000,
-                                     num_events=400_000, mode="collab"))
+    tag = dataset if mode == "collab" else f"{dataset}_{mode}"
+    ds = PREP[dataset](f"/tmp/score_tpu_data/ladder_{tag}",
+                       raw_path=f"/tmp/score_tpu_raw/ladder_{tag}.csv",
+                       synth_kw=gen_kw)
     print(f"{dataset}: users={ds.num_users} items={ds.num_items} "
           f"train={len(ds.train)}", flush=True)
 

@@ -28,7 +28,7 @@ def main():
     kw = dict(mode="crossattr", users=800, items=6000, events=120_000,
               epochs=6, configs="0,1,2,3", seed=0, out="/tmp/ladder_mini.json")
     gen_kw = dict(sig_frac=0.5, junk_frac=0.3, stable_frac=0.5, persist=0.75,
-                  num_communities=16)
+                  num_communities=16, drift_active=1.0)
     overrides = {}
     for a in sys.argv[1:]:
         k, v = a.split("=", 1)

@@ -27,8 +27,10 @@ def main():
                                       num_events=400_000, mode="collab"))
     print(f"users={ds.num_users} items={ds.num_items} "
           f"train={len(ds.train)}", flush=True)
+    modes = sys.argv[2].split(",") if len(sys.argv) > 2 else (
+        "uniform", "inbatch", "inbatch_iw")
     results = {}
-    for mode in ("uniform", "inbatch"):
+    for mode in modes:
         cfg = configs3()
         cfg = cfg.replace(
             data=dataclasses.replace(cfg.data, train_neg_mode=mode),
@@ -43,10 +45,14 @@ def main():
                              ndcg10=out["test"]["ndcg@10"],
                              wall_s=round(time.time() - t0, 1))
         print(json.dumps({mode: results[mode]}), flush=True)
-    d = (results["uniform"]["best_val_auc"]
-         - results["inbatch"]["best_val_auc"])
-    print(json.dumps(dict(val_auc_uniform_minus_inbatch=round(d, 5))),
-          flush=True)
+    if "uniform" in results:
+        for mode in results:
+            if mode == "uniform":
+                continue
+            d = (results["uniform"]["best_val_auc"]
+                 - results[mode]["best_val_auc"])
+            print(json.dumps({f"val_auc_uniform_minus_{mode}": round(d, 5)}),
+                  flush=True)
 
 
 if __name__ == "__main__":

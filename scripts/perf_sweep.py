@@ -17,6 +17,8 @@ import json
 import sys
 import time
 
+sys.path.insert(0, ".")
+
 import numpy as np
 
 NUM_USERS = 50_000
@@ -30,7 +32,7 @@ TRAIN_CALLS = 6
 
 
 def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
-                pallas_coattn=False, num_train_neg=1):
+                pallas_coattn=False, num_train_neg=1, neg_mode="uniform"):
     import jax
     from score_tpu.config import configs3
     from score_tpu.data.pipeline import TargetIterator
@@ -43,13 +45,20 @@ def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
             embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
             sides="dual", slot_agg="coattn", seq_pool="attn",
             target_aware=True, compute_dtype=compute_dtype),
-        data=cfg.data.__class__(num_train_neg=num_train_neg),
+        data=cfg.data.__class__(num_train_neg=num_train_neg,
+                                train_neg_mode=neg_mode),
         train=cfg.train.__class__(batch_size=batch))
     model = build_model(cfg, ds.num_users, ds.num_items,
                         use_pallas_coattn=pallas_coattn)
     rng = jax.random.PRNGKey(0)
     state = init_state(cfg, model, graph, rng)
-    train_loop = make_train_loop(model, cfg)
+    neg_iw = None
+    if neg_mode == "inbatch_iw":
+        import jax.numpy as jnp
+
+        from score_tpu.train import item_importance_weights
+        neg_iw = jnp.asarray(item_importance_weights(ds.train, ds.num_items))
+    train_loop = make_train_loop(model, cfg, neg_iw=neg_iw)
     it = TargetIterator(ds.train, batch, seed=0)
 
     K = STEPS_PER_CALL
@@ -86,6 +95,12 @@ VARIANTS = {
     "b2048_pallas": dict(batch=2048, pallas_coattn=True),
     "b4096_bf16_pallas": dict(batch=4096, compute_dtype="bfloat16",
                               pallas_coattn=True),
+    "b4096_bf16_inbatch": dict(batch=4096, compute_dtype="bfloat16",
+                               neg_mode="inbatch"),
+    "b8192_bf16_inbatch": dict(batch=8192, compute_dtype="bfloat16",
+                               neg_mode="inbatch"),
+    "b4096_bf16_inbatch_iw": dict(batch=4096, compute_dtype="bfloat16",
+                                  neg_mode="inbatch_iw"),
 }
 
 

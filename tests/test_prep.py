@@ -116,6 +116,25 @@ def test_save_load_roundtrip(tiny_dataset, tmp_path):
     assert ds2.num_users == tiny_dataset.num_users
 
 
+def test_crossattr_drift_active_skew():
+    """drift_active=k makes drifting users (the back stable_frac-split half)
+    ~k times more active — the knob that skews eval targets toward the
+    quadrant where only cross co-attention has signal (VERDICT.md r1 #1)."""
+    import numpy as np
+
+    n_users, k = 400, 3.0
+    user, item, ts = synth.synth_events(
+        n_users, 2000, 60_000, num_slots=6, seed=3, mode="crossattr",
+        stable_frac=0.5, drift_active=k)
+    n_stable = int(0.5 * n_users)
+    cnt_stable = np.sum(user < n_stable)
+    cnt_drift = np.sum(user >= n_stable)
+    ratio = cnt_drift / cnt_stable
+    assert 0.8 * k < ratio < 1.2 * k, ratio
+    # ts still spans the slot grid and sorts ascending
+    assert (np.diff(ts) >= 0).all()
+
+
 def test_synth_schemas(tmp_path):
     from score_tpu.data.prep_datasets import PREP
     for name in ("ccmr", "taobao", "tmall"):

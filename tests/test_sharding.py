@@ -251,7 +251,9 @@ def test_configs4_driver_end_to_end(tiny_dataset):
         batch_size=64, num_epochs=1, eval_every_steps=10 ** 9,
         early_stop_patience=10 ** 9, log_every_steps=10 ** 9))
     out = train(cfg, tiny_dataset, verbose=False)
-    assert out["steps_run"] > 0
+    # step-count-vs-plan: exactly steps_per_epoch * num_epochs ran (no chunk
+    # mis-count in the fused mesh loop, VERDICT.md r1 weak #4)
+    assert out["steps_run"] == len(tiny_dataset.train) // 64
     assert np.isfinite(out["test"]["auc"])
 
 

@@ -145,6 +145,41 @@ def test_inbatch_negatives_train_step():
     assert losses[-1] < losses[0] - 0.01, (losses[0], losses[-1])
 
 
+def test_inbatch_iw_weights_and_step():
+    """'inbatch_iw': importance weights satisfy E_q[w] = 1 over the train
+    popularity distribution, and the weighted step learns."""
+    import dataclasses
+
+    from score_tpu.config import configs3
+    from score_tpu.train import item_importance_weights
+
+    ds = _golden_ds()
+    iw = item_importance_weights(ds.train, ds.num_items)
+    assert iw.shape == (ds.num_items + 1,)
+    cnt = np.bincount(np.asarray(ds.train.item), minlength=ds.num_items + 1)
+    # E_{j~q}[w_j] = sum_j (cnt_j/E) * E/(N*cnt_j) = (#items with cnt>0)/N
+    e_q = float(np.sum(cnt * iw.astype(np.float64)) / ds.train.item.size)
+    np.testing.assert_allclose(e_q, (cnt > 0).sum() / ds.num_items, rtol=1e-6)
+
+    cfg = configs3()
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, train_neg_mode="inbatch_iw", num_train_neg=2))
+    g = device_graph(ds.graph)
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfg, model, g, rng)
+    step = make_train_step(model, cfg, neg_iw=jnp.asarray(iw))
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        user=ds.train.user[:256], item=ds.train.item[:256],
+        slot=ds.train.slot[:256]).items()}
+    losses = []
+    for _ in range(30):
+        state, m = step(state, g, batch, rng)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] - 0.01, (losses[0], losses[-1])
+
+
 def test_eval_step_shapes():
     ds = _golden_ds()
     cfg = configs0()
