@@ -66,17 +66,25 @@ class TargetIterator:
         return dict(user=t.user[idx], item=t.item[idx], slot=t.slot[idx])
 
 
-def eval_batches(targets: Targets, batch_size: int) -> Iterator[dict]:
-    """Fixed-order eval batches; the tail batch is padded with row repeats and
-    carries a 0/1 `weight` so metrics ignore padding."""
-    n = len(targets)
+def eval_index_batches(n: int, batch_size: int
+                       ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Fixed-order eval batch (indices, weights): every batch is exactly
+    batch_size wide (one jit shape); the ragged tail is padded by clamping
+    indices to n-1 (row repeats) with weight 0 so metrics ignore padding.
+
+    This is the single owner of eval tail-padding — `train.evaluate` slices
+    the device-resident split with these indices (the split is shipped to
+    the device once; only these tiny index vectors cross per batch)."""
     for start in range(0, n, batch_size):
-        idx = np.arange(start, min(start + batch_size, n))
-        weight = np.ones(batch_size, np.float32)
-        if idx.size < batch_size:
-            weight[idx.size:] = 0.0
-            idx = np.concatenate(
-                [idx, np.zeros(batch_size - idx.size, idx.dtype)])
+        idx = np.arange(start, start + batch_size)
+        weight = (idx < n).astype(np.float32)
+        yield np.minimum(idx, n - 1), weight
+
+
+def eval_batches(targets: Targets, batch_size: int) -> Iterator[dict]:
+    """Fixed-order host-side eval batches over a Targets split; padding
+    contract owned by eval_index_batches."""
+    for idx, weight in eval_index_batches(len(targets), batch_size):
         yield dict(user=targets.user[idx], item=targets.item[idx],
                    slot=targets.slot[idx], neg=targets.neg[idx],
                    weight=weight)

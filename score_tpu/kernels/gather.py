@@ -30,9 +30,18 @@ _INFLIGHT = 256  # sflag memory holds at most 512 DMA semaphores
 def _gather_kernel(ids_ref, table_ref, out_ref, sems, *, tile_n: int):
     # ids_ref is this tile's id block in SMEM (whole-array scalar prefetch
     # would overflow the 1 MB SMEM for realistic id counts). Row DMAs run
-    # with a rolling window of _INFLIGHT outstanding copies: before reusing
+    # with a rolling window of W outstanding copies: before reusing
     # semaphore slot j % W, wait on the copy that last used it.
-    W = min(_INFLIGHT, tile_n)
+    #
+    # Wait accounting (each copy's semaphore must be waited exactly once on
+    # hardware — a double wait hangs): the issue loop waits copies
+    # [0, tile_n - W), the drain loop waits [tile_n - W, tile_n) — disjoint
+    # and exhaustive. This bookkeeping requires tile_n >= W, which
+    # gather_rows_pallas guarantees statically (tile_n is a multiple of
+    # 1024, _INFLIGHT <= 256), asserted here so the ambiguous branch can
+    # never silently appear.
+    W = _INFLIGHT
+    assert tile_n >= W, (tile_n, W)
 
     def dma(j):
         row = ids_ref[j]
@@ -52,7 +61,7 @@ def _gather_kernel(ids_ref, table_ref, out_ref, sems, *, tile_n: int):
         dma(j).wait()
         return 0
 
-    jax.lax.fori_loop(max(tile_n - W, 0), tile_n, drain, 0)
+    jax.lax.fori_loop(tile_n - W, tile_n, drain, 0)
 
 
 def gather_rows_pallas(table: jnp.ndarray, ids: jnp.ndarray,
@@ -84,7 +93,7 @@ def gather_rows_pallas(table: jnp.ndarray, ids: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((tile_n, d), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((min(_INFLIGHT, tile_n),))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_INFLIGHT,))],
         out_shape=jax.ShapeDtypeStruct((n_pad, d), table.dtype),
         interpret=interpret,
     )(flat, table)

@@ -70,7 +70,19 @@ class EmbeddingTables(nn.Module):
 
     def _lookup(self, table, ids):
         fn = self.lookup_fn or local_lookup
-        return fn(table, ids)
+        out = fn(table, ids)
+        if isinstance(out, tuple):
+            # sharded lookups (a2a_lookup with_overflow) also return an
+            # overflow counter: sow it so the train loop can surface
+            # capacity overflow instead of silently reading aliased rows
+            # (SURVEY.md §7.3 item 1). sow is a no-op unless the caller
+            # requests mutable=['diagnostics'].
+            emb, overflow = out
+            self.sow("diagnostics", "a2a_overflow", overflow,
+                     init_fn=lambda: jnp.zeros((), jnp.int32),
+                     reduce_fn=lambda a, b: a + b)
+            return emb
+        return out
 
     def user_emb(self, ids: jnp.ndarray) -> jnp.ndarray:
         if self.shared:

@@ -178,7 +178,7 @@ def psum_lookup(mesh: Mesh, table: jnp.ndarray,
 
 
 def a2a_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
-               capacity: int = 0) -> jnp.ndarray:
+               capacity: int = 0, with_overflow: bool = False):
     """The north-star lookup (BASELINE.json:5): all-to-all request/response
     exchange over the 'rows' axis — v2 (VERDICT.md r1 #5).
 
@@ -197,11 +197,16 @@ def a2a_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
          NO replicating all_gather (responses are data-sharded).
 
     `capacity` (static) caps the per-device unique-id buffer; 0 means the
-    exact worst case (= local id count). A smaller capacity shrinks every
-    exchange buffer proportionally (SURVEY.md §7.3 item 1 static-capacity
-    buckets); ids beyond it read garbage unique slots, so callers must pick
-    an upper bound on per-device uniques (exact whenever
-    capacity >= n_unique; see tests/test_sharding.py).
+    exact per-call worst case (= local id count = ceil(call ids / mesh
+    size), i.e. derived from the call's B·T·(n+m) volume — can never
+    overflow). A smaller capacity shrinks every exchange buffer
+    proportionally (SURVEY.md §7.3 item 1 static-capacity buckets); ids
+    beyond it alias the last unique slot, so the result is wrong whenever
+    capacity < n_unique. `with_overflow=True` returns
+    (emb, total_overflowed_uniques) — the SURVEY's overflow counter,
+    psum'd over the whole mesh; 0 iff the result is exact. The train loop
+    surfaces it as the `a2a_overflow` metric (via EmbeddingTables' flax
+    'diagnostics' sow). The embedding computation is identical either way.
 
     Overlap note (SURVEY.md §5): the model issues all four lookup exchanges
     (targets + both histories) before any consumer compute, so XLA's
@@ -236,6 +241,10 @@ def a2a_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
         urank = jnp.zeros((L,), urank_sorted.dtype).at[order].set(
             jnp.minimum(urank_sorted, cap - 1))
         n_uniq = urank_sorted[-1] + 1
+        # overflow counter (SURVEY.md §7.3 item 1): uniques beyond the static
+        # capacity alias slot cap-1 and corrupt the result — count them so
+        # the caller can detect it (psum'd below when with_overflow).
+        ovf = jnp.maximum(n_uniq - cap, 0).astype(jnp.int32)
         cap_p = -(-cap // n_rows) * n_rows
         uid = jnp.zeros((cap_p,), flat.dtype).at[
             jnp.minimum(urank_sorted, cap - 1)].set(sorted_ids)
@@ -261,13 +270,20 @@ def a2a_lookup(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
         # 4. un-bucket to unique-slot order, then un-dedup per position
         uemb_sorted = resp[req_owner, within]            # [cap_p, d]
         uemb = jnp.zeros((cap_p, d), resp.dtype).at[o_idx].set(uemb_sorted)
-        return uemb[urank].reshape(ids_.shape + (d,))
+        emb_out = uemb[urank].reshape(ids_.shape + (d,))
+        if not with_overflow:
+            return emb_out
+        return emb_out, jax.lax.psum(ovf, (DATA_AXIS, ROWS_AXIS))
 
     both = P((DATA_AXIS, ROWS_AXIS))
+    out_specs = (both, P()) if with_overflow else both
     out = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(ROWS_AXIS, None), both),
-        out_specs=both)(table, ids_p)
+        out_specs=out_specs)(table, ids_p)
+    if with_overflow:
+        emb, ovf = out
+        return (emb[:n0] if n0_pad != n0 else emb), ovf
     return out[:n0] if n0_pad != n0 else out
 
 
@@ -275,14 +291,18 @@ def make_lookup_fn(mesh: Mesh, mode: str, capacity: int = 0):
     """Embedding-lookup implementation for ShardingConfig.lookup_mode,
     pluggable into ScoreModel.lookup_fn. 'local'/None -> plain take (GSPMD
     partitions it); 'psum'/'a2a' -> the explicit shard_map exchanges.
-    `capacity`: a2a per-device unique-id buffer bound (0 = exact)."""
+    `capacity`: a2a per-device unique-id buffer bound (0 = exact). The a2a
+    path returns (emb, overflow_count) — EmbeddingTables._lookup sows the
+    counter into the 'diagnostics' collection so capacity overflow is
+    detected, never silent (SURVEY.md §7.3 item 1)."""
     import functools
     if mode in (None, "local"):
         return None
     if mode == "psum":
         return functools.partial(psum_lookup, mesh)
     if mode == "a2a":
-        return functools.partial(a2a_lookup, mesh, capacity=capacity)
+        return functools.partial(a2a_lookup, mesh, capacity=capacity,
+                                 with_overflow=True)
     raise ValueError(f"unknown lookup_mode {mode}")
 
 

@@ -196,26 +196,35 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
                            step_rng)
 
         def loss_fn(params):
-            logits = model.apply({"params": params}, mb, train=True,
-                                 method=model.score_candidates,
-                                 rngs={"dropout": jax.random.fold_in(
-                                     step_rng, 1)})
+            # mutable=['diagnostics'] collects counters sown by the sharded
+            # lookup paths (a2a capacity overflow — SURVEY.md §7.3 item 1);
+            # empty dict for local lookups.
+            logits, diag = model.apply(
+                {"params": params}, mb, train=True,
+                method=model.score_candidates,
+                rngs={"dropout": jax.random.fold_in(step_rng, 1)},
+                mutable=["diagnostics"])
             loss = bce_loss(logits, labels, weights)
             reg = l2 * _table_l2(params) if l2 > 0 else 0.0
-            return loss + reg, (loss, logits)
+            return loss + reg, (loss, logits, diag)
 
-        grads, (loss, logits) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (loss, logits, diag) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
+        ovf = sum(jax.tree_util.tree_leaves(diag),
+                  jnp.zeros((), jnp.int32))
         # collision weights feed the monitoring AUC too: in inbatch mode a
         # rolled negative equal to the example's own positive would otherwise
         # be counted as a mislabeled 0 (ADVICE.md r1)
         w = (weights if weights is not None
              else jnp.ones_like(labels))
         if not with_auc:
-            return new_state, {"loss": loss, "logits": logits, "weights": w}
+            return new_state, {"loss": loss, "logits": logits, "weights": w,
+                               "a2a_overflow": ovf}
         batch_auc = auc_fn(logits.reshape(-1), labels.reshape(-1),
                            w.reshape(-1))
-        return new_state, {"loss": loss, "batch_auc": batch_auc}
+        return new_state, {"loss": loss, "batch_auc": batch_auc,
+                           "a2a_overflow": ovf}
 
     return train_step
 
@@ -296,9 +305,11 @@ def evaluate(eval_step: Callable, params, graph: DeviceGraph, targets,
     The whole split is shipped to the device ONCE and batches are sliced
     on-device — per-batch host->device transfers would serialize on
     dispatch latency (measured 243s -> ~seconds for 24.5k targets).
-    max_targets subsamples for cheap periodic validation; final evals pass
-    None for the full split.
+    Tail-padding/weights contract is owned by pipeline.eval_index_batches
+    (VERDICT.md r2 #9: one tested implementation). max_targets subsamples
+    for cheap periodic validation; final evals pass None for the full split.
     """
+    from .data.pipeline import eval_index_batches
     n = len(targets)
     sel = np.arange(n)
     if max_targets is not None and n > max_targets:
@@ -309,16 +320,14 @@ def evaluate(eval_step: Callable, params, graph: DeviceGraph, targets,
     slots = jnp.asarray(targets.slot[sel])
     negs = jnp.asarray(targets.neg[sel])
     pos_list, neg_list, w_list = [], [], []
-    for start in range(0, n, batch_size):
-        idx = jnp.arange(start, start + batch_size)
-        w = (idx < n).astype(jnp.float32)
-        idx = jnp.minimum(idx, n - 1)
+    for idx_np, w_np in eval_index_batches(n, batch_size):
+        idx = jnp.asarray(idx_np)
         batch = dict(user=users[idx], item=items[idx], slot=slots[idx],
                      neg=negs[idx])
         scores = eval_step(params, graph, batch)
         pos_list.append(scores[:, 0])
         neg_list.append(scores[:, 1:])
-        w_list.append(w)
+        w_list.append(jnp.asarray(w_np))
     pos = jnp.concatenate(pos_list)
     neg = jnp.concatenate(neg_list)
     w = jnp.concatenate(w_list)
@@ -417,6 +426,8 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
             stacked = _stack_batches(it, chunk, put=put_stacked)
             state, ms = train_loop(state, graph, stacked, rng)
             m = {k: v[-1] for k, v in ms.items()}
+            if "a2a_overflow" in ms:
+                m["a2a_overflow"] = ms["a2a_overflow"].sum()  # whole chunk
             step += chunk
         else:
             batch = next(it)
@@ -431,6 +442,16 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
             elif step >= 30 and profiling:
                 jax.profiler.stop_trace()
                 profiling = False
+        if cfg.sharding.lookup_mode == "a2a":
+            # capacity overflow means the lookup read aliased rows — surface
+            # it loudly instead of silently training on corrupt embeddings
+            # (SURVEY.md §7.3 item 1). Readback only under a2a.
+            ovf = int(m.get("a2a_overflow", 0))
+            if ovf > 0:
+                print(f"WARNING step {step}: a2a_lookup capacity overflow "
+                      f"({ovf} uniques dropped) — raise "
+                      f"sharding.a2a_capacity; metrics this step are "
+                      f"corrupt", flush=True)
         if verbose and step % cfg.train.log_every_steps == 0:
             loss = float(m["loss"])
             print(f"step {step}/{total_steps} epoch {it.epoch} "

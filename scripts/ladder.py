@@ -8,7 +8,12 @@ the identical train/eval protocol — the paper-§4.3-style comparison table
 where full SCoRe (configs3) should lead.
 
 Usage: python scripts/ladder.py [out_json] [dataset] [epochs] [--baselines]
-           [mode=collab|crossattr|latent] [gen knob k=v ...]
+           [mode=collab|crossattr|latent] [seed=N] [models=a,b,...]
+           [gen knob k=v ...]
+
+seed= sets the TRAIN seed only (the dataset is the same pinned prep for all
+seeds — the multi-seed protocol of VERDICT.md r2 #3). models= restricts the
+roster to a comma list of preset names.
 
 mode=crossattr uses the cross-side relational generator (VERDICT.md r1 #1)
 with the skew defaults that make the co-attention rung's advantage
@@ -34,6 +39,8 @@ def main():
     dataset = args[1] if len(args) > 1 else "taobao"
     epochs = int(args[2]) if len(args) > 2 else 3
     mode = kv.pop("mode", "collab")
+    seed = int(kv.pop("seed", "0"))
+    models = kv.pop("models", None)
     gen_kw = dict(num_users=3000, num_items=6000, num_events=400_000,
                   mode=mode)
     if mode == "crossattr":
@@ -49,14 +56,17 @@ def main():
           f"train={len(ds.train)}", flush=True)
 
     results = {}
-    names = list(BASELINE_PRESETS) if with_baselines else []
-    names += ["configs0", "configs1", "configs2", "configs3"]
+    if models:
+        names = models.split(",")
+    else:
+        names = list(BASELINE_PRESETS) if with_baselines else []
+        names += ["configs0", "configs1", "configs2", "configs3"]
     for name in names:
         cfg = PRESETS[name]()
         cfg = cfg.replace(train=cfg.train.__class__(
             batch_size=512, learning_rate=1e-3, num_epochs=epochs,
             eval_every_steps=300, early_stop_patience=6,
-            log_every_steps=10 ** 9, seed=0))
+            log_every_steps=10 ** 9, seed=seed))
         t0 = time.time()
         out = train(cfg, ds, verbose=False)
         results[name] = dict(
@@ -70,11 +80,14 @@ def main():
 
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
-    aucs = [results[n]["best_val_auc"] for n in
-            ("configs0", "configs1", "configs2", "configs3")]
-    print("ladder val AUCs:", [round(a, 4) for a in aucs], flush=True)
-    print("monotone:", all(b >= a - 0.002 for a, b in zip(aucs, aucs[1:])),
-          flush=True)
+    rungs = [n for n in ("configs0", "configs1", "configs2", "configs3")
+             if n in results]
+    if len(rungs) == 4:
+        aucs = [results[n]["best_val_auc"] for n in rungs]
+        print("ladder val AUCs:", [round(a, 4) for a in aucs], flush=True)
+        print("monotone:",
+              all(b >= a - 0.002 for a, b in zip(aucs, aucs[1:])),
+              flush=True)
 
 
 if __name__ == "__main__":

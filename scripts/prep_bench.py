@@ -43,7 +43,8 @@ def synth_uniform_zipf(n, num_users, num_items, num_slots, seed=0):
 
 def main():
     kw = dict(events=100_000_000, csv_rows=20_000_000, users=1_000_000,
-              items=4_000_000, slots=9, out="/tmp/prep_bench.json")
+              items=4_000_000, slots=9, native=1,
+              out="/tmp/prep_bench.json")
     for a in sys.argv[1:]:
         k, v = a.split("=", 1)
         kw[k] = type(kw[k])(v)
@@ -60,7 +61,8 @@ def main():
     t0 = time.time()
     ds = build_dataset(user, item, ts, num_slots=kw["slots"],
                        user_fanout=10, item_fanout=10, num_eval_neg=100,
-                       min_user=5, min_item=5, use_native=True)
+                       min_user=5, min_item=5, use_native=bool(kw["native"]))
+    res["native"] = bool(kw["native"])
     res["build_dataset_s"] = round(time.time() - t0, 1)
     res["events_kept"] = ds.meta["num_events_kept"]
     res["num_users"] = ds.graph.num_users

@@ -6,7 +6,10 @@ category and (b) the top individual ops — the measurement that drives kernel
 work (the round-1 finding "embedding gathers + scatter-add grads ~70% of
 step" came from this view).
 
-Usage: python scripts/profile_step.py [batch] [dtype] [trace_dir]
+Usage: python scripts/profile_step.py [batch] [dtype] [trace_dir] [neg_mode]
+
+neg_mode defaults to 'inbatch_iw' — the shipped bench configuration
+(VERDICT.md r2 #5: the profile must cover the step that bench.py times).
 """
 
 from __future__ import annotations
@@ -33,8 +36,10 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
     trace_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/xprof_step"
+    neg_mode = sys.argv[4] if len(sys.argv) > 4 else "inbatch_iw"
 
     import jax
+    import jax.numpy as jnp
 
     from score_tpu.config import configs3
     from score_tpu.data import synth
@@ -42,7 +47,7 @@ def main():
     from score_tpu.data.pipeline import TargetIterator
     from score_tpu.graph import device_graph
     from score_tpu.train import (_stack_batches, build_model, init_state,
-                                 make_train_loop)
+                                 item_importance_weights, make_train_loop)
 
     user, item, ts = synth.synth_events(
         NUM_USERS, NUM_ITEMS, NUM_EVENTS, num_slots=NUM_SLOTS, seed=0)
@@ -58,11 +63,14 @@ def main():
             embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
             sides="dual", slot_agg="coattn", seq_pool="attn",
             target_aware=True, compute_dtype=dtype),
+        data=cfg.data.__class__(train_neg_mode=neg_mode),
         train=cfg.train.__class__(batch_size=batch))
     model = build_model(cfg, ds.num_users, ds.num_items)
     rng = jax.random.PRNGKey(0)
     state = init_state(cfg, model, graph, rng)
-    train_loop = make_train_loop(model, cfg)
+    neg_iw = (jnp.asarray(item_importance_weights(ds.train, ds.num_items))
+              if neg_mode == "inbatch_iw" else None)
+    train_loop = make_train_loop(model, cfg, neg_iw=neg_iw)
     it = TargetIterator(ds.train, batch, seed=0)
 
     state, ms = train_loop(state, graph, _stack_batches(it, K), rng)
@@ -72,8 +80,8 @@ def main():
         state, ms = train_loop(state, graph, _stack_batches(it, K), rng)
         float(ms["loss"][-1])                   # honest readback inside trace
     wall = time.time() - t0
-    print(json.dumps(dict(batch=batch, dtype=dtype, steps=K,
-                          wall_s=round(wall, 2),
+    print(json.dumps(dict(batch=batch, dtype=dtype, neg_mode=neg_mode,
+                          steps=K, wall_s=round(wall, 2),
                           examples_per_s=round(K * batch / wall))), flush=True)
 
     paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))

@@ -3,7 +3,8 @@
 import numpy as np
 import pytest
 
-from score_tpu.data.pipeline import TargetIterator, eval_batches
+from score_tpu.data.pipeline import (TargetIterator, eval_batches,
+                                     eval_index_batches)
 
 
 def test_iterator_covers_epoch(tiny_dataset):
@@ -75,3 +76,19 @@ def test_eval_batches_padding(tiny_dataset):
     pad = int(bs - (n % bs)) % bs
     if pad:
         assert (tail["weight"][-pad:] == 0).all()
+
+
+def test_eval_index_batches_contract(tiny_dataset):
+    """eval_index_batches is the single owner of eval tail-padding (used by
+    train.evaluate): fixed width, clamp-to-last-row padding, 0/1 weights
+    covering exactly n rows in order."""
+    n = len(tiny_dataset.val)
+    bs = 50
+    all_idx, total_w = [], 0.0
+    for idx, w in eval_index_batches(n, bs):
+        assert idx.shape == (bs,) and w.shape == (bs,)
+        assert (idx[w == 0] == n - 1).all()      # padding repeats last row
+        all_idx.append(idx[w == 1])
+        total_w += w.sum()
+    assert total_w == n
+    np.testing.assert_array_equal(np.concatenate(all_idx), np.arange(n))

@@ -109,6 +109,58 @@ def test_a2a_dedup_grads_with_duplicates(mesh, rng):
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-5, atol=1e-5)
 
 
+def test_a2a_overflow_detected_not_silent(mesh, rng):
+    """SURVEY.md §7.3 item 1 'static capacity with overflow counters'
+    (VERDICT.md r2 #4): when capacity < per-device uniques the lookup
+    REPORTS a positive overflow count; when capacity suffices the count is
+    zero and the embeddings are bit-identical to the counter-free path."""
+    V, d = 64, 16
+    table = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    # 256 ids over 5 distinct values -> <=5 uniques per device
+    ids = jnp.asarray((rng.integers(0, 5, size=(256,)) * 7 + 1
+                       ).astype(np.int32))
+    emb, ovf = a2a_lookup(mesh, table, ids, capacity=8, with_overflow=True)
+    assert int(ovf) == 0
+    np.testing.assert_array_equal(
+        np.asarray(emb), np.asarray(a2a_lookup(mesh, table, ids, capacity=8)))
+    np.testing.assert_array_equal(
+        np.asarray(emb), np.asarray(jnp.take(table, ids, axis=0)))
+    # now force overflow: 16 distinct ids with capacity 2 per device
+    ids_many = jnp.asarray((rng.permutation(V)[:64]).astype(np.int32))
+    _, ovf2 = a2a_lookup(mesh, table, ids_many, capacity=2,
+                         with_overflow=True)
+    assert int(ovf2) > 0
+
+
+def test_a2a_overflow_surfaces_in_train_metrics(mesh, tiny_dataset):
+    """The train step exposes the sown overflow counter as the
+    'a2a_overflow' metric (0 with ample capacity, >0 when the capacity
+    truncates uniques)."""
+    from score_tpu.config import configs4
+    from score_tpu.graph import device_graph
+    from score_tpu.sharding import make_lookup_fn
+    from score_tpu.train import build_model, init_state, make_train_step
+
+    cfg = configs4()
+    g = device_graph(tiny_dataset.graph)
+    batch = {
+        "user": jnp.asarray(tiny_dataset.train.user[:16]),
+        "item": jnp.asarray(tiny_dataset.train.item[:16]),
+        "slot": jnp.asarray(tiny_dataset.train.slot[:16]),
+    }
+    rng = jax.random.PRNGKey(0)
+    for cap, expect_overflow in ((0, False), (1, True)):
+        model = build_model(cfg, tiny_dataset.num_users,
+                            tiny_dataset.num_items,
+                            lookup_fn=make_lookup_fn(mesh, "a2a",
+                                                     capacity=cap))
+        state = init_state(cfg, model, g, rng)
+        _, m = make_train_step(model, cfg)(state, g, batch, rng)
+        assert "a2a_overflow" in m
+        assert (int(m["a2a_overflow"]) > 0) == expect_overflow, (
+            cap, int(m["a2a_overflow"]))
+
+
 def test_a2a_responses_are_data_sharded(mesh, rng):
     """The v2 exchange returns responses sharded over BOTH mesh axes — no
     replicating all_gather (VERDICT.md r1 #5 'data-sharded responses')."""
