@@ -140,22 +140,35 @@ def _sample_eval_negatives(pos_user: np.ndarray, pos_item: np.ndarray,
     neg = rng.integers(1, num_items + 1, size=(n, num_neg), dtype=np.int64)
     base = pos_user.astype(np.int64) * (num_items + 1)
 
-    def bad_mask(cand: np.ndarray) -> np.ndarray:
-        bad = cand == pos_item[:, None]
+    def bad_of(rows: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        """Per-element bad flags for candidates `cand` of target rows
+        `rows` (both 1-D, same length)."""
+        bad = cand == pos_item[rows]
         if seen_keys is not None and seen_keys.size:
-            keys = base[:, None] + cand
+            keys = base[rows] + cand
             idx = np.searchsorted(seen_keys, keys)
             idx_c = np.minimum(idx, seen_keys.size - 1)
             bad |= seen_keys[idx_c] == keys
         return bad
 
+    # Full first pass, then redraw-and-recheck ONLY the bad positions:
+    # unchanged entries can never turn bad, so this is bit-identical to
+    # re-masking the whole matrix each round (the r2 implementation) while
+    # dropping the per-round cost from O(n*num_neg*log) to O(k*log) — the
+    # whole-matrix version was 92% of build_dataset wall at 1e7 events
+    # (BASELINE.md r3 prep phase row).
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), num_neg)
+    flat = neg.reshape(-1)
+    bad = bad_of(rows_all, flat)
+    pos = np.nonzero(bad)[0]
     for _ in range(100):
-        bad = bad_mask(neg)
-        k = int(bad.sum())
-        if k == 0:
+        if pos.size == 0:
             break
-        neg[bad] = rng.integers(1, num_items + 1, size=k)
-    return neg.astype(np.int32)
+        redraw = rng.integers(1, num_items + 1, size=pos.size)
+        flat[pos] = redraw
+        still = bad_of(rows_all[pos], redraw)
+        pos = pos[still]
+    return flat.reshape(n, num_neg).astype(np.int32)
 
 
 def build_dataset(user_raw: np.ndarray, item_raw: np.ndarray, ts: np.ndarray,
@@ -165,11 +178,18 @@ def build_dataset(user_raw: np.ndarray, item_raw: np.ndarray, ts: np.ndarray,
                   exclude_seen_negatives: bool = True,
                   seed: int = 0, dataset_name: str = "unknown",
                   use_native: bool = True) -> Dataset:
-    """Full pipeline raw events -> packed Dataset. See module docstring."""
+    """Full pipeline raw events -> packed Dataset. See module docstring.
+
+    Per-phase wall times land in meta['prep_phase_s'] (filter/remap, dedup,
+    adjacency, eval negatives) so scale benchmarks can attribute cost
+    (scripts/prep_bench.py)."""
+    import time
     rng = np.random.default_rng(seed)
     user_raw = np.asarray(user_raw)
     item_raw = np.asarray(item_raw)
     ts = np.asarray(ts)
+    phases = {}
+    t0 = time.time()
 
     u_f, i_f, ts_f = filter_min_count(user_raw, item_raw, ts, min_user, min_item)
     if u_f.size == 0:
@@ -179,12 +199,16 @@ def build_dataset(user_raw: np.ndarray, item_raw: np.ndarray, ts: np.ndarray,
     num_users = int(user.max())
     num_items = int(item.max())
     slot = bucket_slots(ts_f, num_slots)
+    phases["filter_remap"] = round(time.time() - t0, 1)
+    t0 = time.time()
 
     # Deduplicate (u, i, t) triples — one edge per slot, one target per triple.
     triple = (slot.astype(np.int64) * (num_users + 1) + user) * (
         num_items + 1) + item
     _, first_idx = np.unique(triple, return_index=True)
     user_d, item_d, slot_d = user[first_idx], item[first_idx], slot[first_idx]
+    phases["dedup"] = round(time.time() - t0, 1)
+    t0 = time.time()
 
     u2i, u2i_cnt, u2i_indptr, u2i_indices = _build_side(
         user_d, item_d, slot_d, num_users, num_slots, user_fanout, rng,
@@ -192,6 +216,8 @@ def build_dataset(user_raw: np.ndarray, item_raw: np.ndarray, ts: np.ndarray,
     i2u, i2u_cnt, i2u_indptr, i2u_indices = _build_side(
         item_d, user_d, slot_d, num_items, num_slots, item_fanout, rng,
         use_native=use_native)
+    phases["adjacency"] = round(time.time() - t0, 1)
+    t0 = time.time()
 
     graph = GraphStore(
         num_users=num_users, num_items=num_items, num_slots=num_slots,
@@ -222,14 +248,19 @@ def build_dataset(user_raw: np.ndarray, item_raw: np.ndarray, ts: np.ndarray,
                 t.user, t.item, num_items, num_eval_neg, seen, rng)
         return t
 
+    train_t = _targets(tr, with_neg=False)
+    val_t = _targets(va, with_neg=True)
+    test_t = _targets(te, with_neg=True)
+    phases["targets_evalneg"] = round(time.time() - t0, 1)
     ds = Dataset(
         graph=graph,
-        train=_targets(tr, with_neg=False),
-        val=_targets(va, with_neg=True),
-        test=_targets(te, with_neg=True),
+        train=train_t,
+        val=val_t,
+        test=test_t,
         meta=dict(dataset=dataset_name, seed=seed,
                   user_fanout=user_fanout, item_fanout=item_fanout,
                   num_eval_neg=num_eval_neg,
                   num_events_raw=int(user_raw.size),
-                  num_events_kept=int(user_d.size)))
+                  num_events_kept=int(user_d.size),
+                  prep_phase_s=phases))
     return ds

@@ -101,6 +101,12 @@ VARIANTS = {
                                neg_mode="inbatch"),
     "b4096_bf16_inbatch_iw": dict(batch=4096, compute_dtype="bfloat16",
                                   neg_mode="inbatch_iw"),
+    "b6144_bf16_inbatch_iw": dict(batch=6144, compute_dtype="bfloat16",
+                                  neg_mode="inbatch_iw"),
+    "b8192_bf16_inbatch_iw": dict(batch=8192, compute_dtype="bfloat16",
+                                  neg_mode="inbatch_iw"),
+    "b3072_bf16_inbatch_iw": dict(batch=3072, compute_dtype="bfloat16",
+                                  neg_mode="inbatch_iw"),
 }
 
 

@@ -64,6 +64,7 @@ def main():
                        min_user=5, min_item=5, use_native=bool(kw["native"]))
     res["native"] = bool(kw["native"])
     res["build_dataset_s"] = round(time.time() - t0, 1)
+    res["phase_s"] = ds.meta.get("prep_phase_s", {})
     res["events_kept"] = ds.meta["num_events_kept"]
     res["num_users"] = ds.graph.num_users
     res["num_items"] = ds.graph.num_items

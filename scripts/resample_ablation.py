@@ -36,8 +36,8 @@ def main():
     ds20 = PREP["taobao"]("/tmp/score_tpu_data/ladder_taobao_crossattr_f20",
                           raw_path="/tmp/score_tpu_raw/ladder_taobao_crossattr.csv",
                           synth_kw=GEN_KW, user_fanout=20, item_fanout=20)
-    print(f"off-arm fanout={ds10.graph.user_adj.shape[-1]} "
-          f"on-arm fanout={ds20.graph.user_adj.shape[-1]}", flush=True)
+    print(f"off-arm fanout={ds10.graph.u2i.shape[-1]} "
+          f"on-arm fanout={ds20.graph.u2i.shape[-1]}", flush=True)
 
     results = {}
     for arm, ds, resample in (("fixed_prep_sample", ds10, False),
