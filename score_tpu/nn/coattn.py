@@ -23,6 +23,35 @@ import jax.numpy as jnp
 
 _NEG = -1e9
 
+# Lowering-probe knob (scripts/perf_sweep.py *_dotfree variants): when True,
+# the tiny neighbor-axis contractions in the unrolled candidates path
+# ("btnd,btd->btn" / "btn,btnd->btd" at n,m≈10) lower as
+# broadcast-multiply + f32-accumulated reduce instead of dot_general.
+# MEASURED AND RETIRED (BASELINE.md r3): 140.8k vs 161.4k examples/s — the
+# hypothesis was that dodging dot_general would remove the [B,T,n,d] layout
+# copies (27% of the step), but the HLO shows XLA itself already lowers
+# these tiny dots to mul+reduce fusions and inserts the copies to run the
+# whole block batch-minormost (filling all 128 VPU lanes at d=32); the
+# explicit f32-accumulated form just adds bigger intermediates. Default
+# stays False; the flag is kept as a documented probe with an equivalence
+# test (tests/test_coattn.py::test_dot_free_candidates_path_matches_einsum).
+DOT_FREE = False
+
+
+def _vdot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """einsum('...d,...d->...') as mul + f32-accumulated reduce.
+
+    f32 accumulation matches dot_general's MXU accumulator so bf16 callers
+    lose nothing vs the einsum lowering.
+    """
+    return jnp.sum(x * y, axis=-1, dtype=jnp.float32).astype(x.dtype)
+
+
+def _wsum(a: jnp.ndarray, E: jnp.ndarray) -> jnp.ndarray:
+    """einsum('...k,...kd->...d') as broadcast-mul + f32-accumulated reduce."""
+    return jnp.sum(a[..., None] * E, axis=-2,
+                   dtype=jnp.float32).astype(E.dtype)
+
 
 def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Softmax over the last axis; rows with no valid entry give all-zeros.
@@ -253,6 +282,17 @@ class CrossCoAttention(nn.Module):
             # btd->btn' contractions are the fast pre-candidates shapes.
             sus, sis, cus, cis = [], [], [], []
             for c in range(C):
+                if DOT_FREE:
+                    su_c = _vdot(EuW, Ei_sum[:, c, :, None, :]) * scale
+                    si_c = _vdot(Ei[:, c], EuW_sum[:, :, None, :]) * scale
+                    if self.target_aware:
+                        su_c += _vdot(Eu, ei[:, c, None, None, :]) * scale
+                        si_c += _vdot(Ei[:, c], eu[:, None, None, :]) * scale
+                    a_c = masked_softmax(su_c, mu)
+                    b_c = masked_softmax(si_c, mi[:, c])
+                    cus.append(_wsum(a_c, Eu))
+                    cis.append(_wsum(b_c, Ei[:, c]))
+                    continue
                 su_c = jnp.einsum("btnd,btd->btn", EuW, Ei_sum[:, c]) * scale
                 si_c = jnp.einsum("btmd,btd->btm", Ei[:, c], EuW_sum) * scale
                 if self.target_aware:

@@ -22,6 +22,14 @@ import jax.numpy as jnp
 
 from .coattn import masked_softmax
 
+# Probe knob (scripts/perf_sweep.py *_unroll variants): lax.scan unroll
+# factor for the GRU recurrence. Semantics identical for any value.
+# MEASURED AND RETIRED (BASELINE.md r3): full unroll at T=9 measured 140.4k
+# vs 161.4k examples/s on the shipped bf16+inbatch_iw step — the unrolled
+# body defeats XLA's cross-step loop fusion instead of helping it. Default
+# stays 1.
+SCAN_UNROLL = 1
+
 
 class GRU(nn.Module):
     """Unidirectional GRU over axis 1. xs: [B,T,d], mask: [B,T] -> [B,T,f]."""
@@ -56,7 +64,8 @@ class GRU(nn.Module):
 
         h0 = jnp.zeros((B, f), xs.dtype)
         _, hs = jax.lax.scan(step, h0,
-                             (gx_all.transpose(1, 0, 2), mask.T))
+                             (gx_all.transpose(1, 0, 2), mask.T),
+                             unroll=SCAN_UNROLL)
         return hs.transpose(1, 0, 2)
 
 

@@ -32,9 +32,14 @@ TRAIN_CALLS = 6
 
 
 def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
-                pallas_coattn=False, num_train_neg=1, neg_mode="uniform"):
+                pallas_coattn=False, num_train_neg=1, neg_mode="uniform",
+                dotfree=False, gru_unroll=1, embed_dim=EMBED_DIM):
     import jax
     from score_tpu.config import configs3
+    from score_tpu.nn import coattn as _coattn
+    from score_tpu.nn import encoder as _encoder
+    _coattn.DOT_FREE = dotfree
+    _encoder.SCAN_UNROLL = gru_unroll
     from score_tpu.data.pipeline import TargetIterator
     from score_tpu.train import (_stack_batches, build_model, init_state,
                                  make_train_loop)
@@ -42,7 +47,7 @@ def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
     cfg = configs3()
     cfg = cfg.replace(
         model=cfg.model.__class__(
-            embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
+            embed_dim=embed_dim, hidden_dim=64, mlp_dims=(128, 64),
             sides="dual", slot_agg="coattn", seq_pool="attn",
             target_aware=True, compute_dtype=compute_dtype),
         data=cfg.data.__class__(num_train_neg=num_train_neg,
@@ -107,6 +112,22 @@ VARIANTS = {
                                   neg_mode="inbatch_iw"),
     "b3072_bf16_inbatch_iw": dict(batch=3072, compute_dtype="bfloat16",
                                   neg_mode="inbatch_iw"),
+    "b4096_bf16_iw_dotfree": dict(batch=4096, compute_dtype="bfloat16",
+                                  neg_mode="inbatch_iw", dotfree=True),
+    "b6144_bf16_iw_dotfree": dict(batch=6144, compute_dtype="bfloat16",
+                                  neg_mode="inbatch_iw", dotfree=True),
+    "b4096_bf16_iw_unroll": dict(batch=4096, compute_dtype="bfloat16",
+                                 neg_mode="inbatch_iw", gru_unroll=9),
+    "b4096_bf16_iw_dotfree_unroll": dict(
+        batch=4096, compute_dtype="bfloat16", neg_mode="inbatch_iw",
+        dotfree=True, gru_unroll=9),
+    # Embedding-width sweep: at d=32 XLA relayouts the [B,T,n,d] co-attention
+    # tensors to batch-minormost to fill the 128 VPU lanes (4 boundary copies
+    # ~= 27% of the step, r3 profile); d=128 fills lanes in the native layout
+    "b4096_bf16_iw_d64": dict(batch=4096, compute_dtype="bfloat16",
+                              neg_mode="inbatch_iw", embed_dim=64),
+    "b4096_bf16_iw_d128": dict(batch=4096, compute_dtype="bfloat16",
+                               neg_mode="inbatch_iw", embed_dim=128),
 }
 
 

@@ -162,3 +162,45 @@ def test_masked_softmax_sums(rng):
     np.testing.assert_allclose(a.sum(-1)[[0, 1, 3]], 1.0, rtol=1e-5)
     assert np.all(a[2] == 0.0)
     assert np.all(a[~m] == 0.0)
+
+
+def test_dot_free_candidates_path_matches_einsum(rng):
+    """The DOT_FREE lowering (mul+f32-reduce instead of dot_general — the r3
+    layout-copy fix) must be numerically equivalent, values and grads."""
+    from score_tpu.nn import coattn as ca
+
+    B, C, T, n, m, d = 3, 2, 4, 5, 6, 8
+    Eu = jnp.asarray(rng.normal(size=(B, T, n, d)).astype(np.float32))
+    Ei = jnp.asarray(rng.normal(size=(B, C, T, m, d)).astype(np.float32))
+    mu = jnp.asarray(rng.random((B, T, n)) > 0.3)
+    mi = jnp.asarray(rng.random((B, C, T, m)) > 0.3)
+    eu = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    ei = jnp.asarray(rng.normal(size=(B, C, d)).astype(np.float32))
+    mod = ca.CrossCoAttention(pool="sum", target_aware=True)
+    params = mod.init(jax.random.PRNGKey(0), Eu, Ei, mu, mi, eu, ei)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(
+            rng.normal(size=x.shape).astype(np.float32)) * 0.1, params)
+
+    def run(flag):
+        old = ca.DOT_FREE
+        ca.DOT_FREE = flag
+        try:
+            def loss(p, Eu_):
+                cu, ci = mod.apply(p, Eu_, Ei, mu, mi, eu, ei)
+                return jnp.sum(cu ** 2) + 0.5 * jnp.sum(ci ** 2), (cu, ci)
+            (val, (cu, ci)), grads = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True)(params, Eu)
+            return val, cu, ci, grads
+        finally:
+            ca.DOT_FREE = old
+
+    v0, cu0, ci0, g0 = run(False)
+    v1, cu1, ci1, g1 = run(True)
+    np.testing.assert_allclose(np.asarray(cu0), np.asarray(cu1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ci0), np.asarray(ci1),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
