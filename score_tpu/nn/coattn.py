@@ -37,6 +37,17 @@ _NEG = -1e9
 # test (tests/test_coattn.py::test_dot_free_candidates_path_matches_einsum).
 DOT_FREE = False
 
+# A/B probe (scripts/perf_sweep.py *_noroll variant): True routes the
+# i_shifts path through the shift-pushdown (rolls confined to [B,T,d]-sized
+# tensors; the big item-side tensor never concatenated); False materializes
+# the rolled item side at entry. MEASURED AND RETIRED (BASELINE.md r3):
+# interleaved A/B 151.0/151.5k (pushdown) vs 162.2/157.8k (materialized) —
+# the traced-shift rolls lower to gathers and the per-candidate masked
+# re-sum of [B,T,m,d] costs more than the ~2 ms concat+backward it saves.
+# Default stays False (materialized); the pushdown is kept as an
+# equivalence-tested probe.
+PUSH_ROLLS = False
+
 
 def _vdot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """einsum('...d,...d->...') as mul + f32-accumulated reduce.
@@ -215,8 +226,20 @@ class CrossCoAttention(nn.Module):
     force_pairflat: bool = False   # benchmark switch: tile + per-pair path
 
     @nn.compact
-    def __call__(self, Eu, Ei, mu, mi, eu, ei):
-        B, C = Ei.shape[0], Ei.shape[1]
+    def __call__(self, Eu, Ei, mu, mi, eu, ei, i_shifts=None):
+        # i_shifts (in-batch negatives, ScoreModel neg_shift contract):
+        # when given, Ei arrives UN-rolled as [B, 1, T, m, d] and candidate
+        # c >= 1 is the item side of example b + i_shifts[c-1] (batch roll).
+        # Every per-candidate op here is pointwise in the batch axis, so the
+        # rolls are pushed onto the [B,T,d]/[B,d]-sized tensors (roll the
+        # user-side summaries FORWARD, compute in the item-aligned frame
+        # against the single stored Ei, roll the [B,T,d] result back)
+        # instead of materializing a [B, C, T, m, d] concatenated copy of
+        # the biggest item-side tensor — the r3 profile showed ~2 ms/step of
+        # dynamic-update-slice + backward copies from that concat
+        # (model.py:144 attribution). mi still arrives per-candidate
+        # ([B, C, T, m], rolled via i_cnt): mi[:, c] == roll(mi[:, 0], -s_c).
+        B, C = Ei.shape[0], ei.shape[1]
         T, n, d = Eu.shape[1], Eu.shape[2], Eu.shape[3]
         m = Ei.shape[3]
         # zero init: relation scores start at 0 => dual masked-mean
@@ -246,6 +269,16 @@ class CrossCoAttention(nn.Module):
         # bf16 step spent ~20% in the broadcast/reshape data formatting this
         # tiling causes, so C == 2 training now uses the unrolled
         # candidate-axis path below like every other C.
+        if i_shifts is not None and (self.pool not in ("sum", "mean")
+                                     or self.use_pallas
+                                     or self.force_pairflat or C > 8
+                                     or not PUSH_ROLLS):
+            # non-hot paths: materialize the rolled item side and fall
+            # through to the generic code below (old behavior)
+            Ei = jnp.concatenate(
+                [Ei] + [jnp.roll(Ei, -s, axis=0) for s in i_shifts], axis=1)
+            i_shifts = None
+
         if (self.pool not in ("sum", "mean") or self.use_pallas
                 or self.force_pairflat):
             # per-pair fallback: tile the shared side to [B*C, ...]
@@ -268,12 +301,58 @@ class CrossCoAttention(nn.Module):
         scale = 1.0 / jnp.sqrt(jnp.asarray(d, Eu.dtype))
         EuW = jnp.einsum("btnd,de->btne", Eu, Wr)               # [B,T,n,d]
         muf = mu[..., None].astype(Eu.dtype)
-        mif = mi[..., None].astype(Ei.dtype)
-        Ei_sum = jnp.sum(Ei * mif, axis=3)                      # [B,C,T,d]
         EuW_sum = jnp.sum(EuW * muf, axis=2)                    # [B,T,d]
         if self.pool == "mean":
-            Ei_sum = Ei_sum / jnp.maximum(jnp.sum(mif, axis=3), 1.0)
             EuW_sum = EuW_sum / jnp.maximum(jnp.sum(muf, axis=2), 1.0)
+        if i_shifts is None:
+            mif = mi[..., None].astype(Ei.dtype)
+            Ei_sum = jnp.sum(Ei * mif, axis=3)                  # [B,C,T,d]
+            if self.pool == "mean":
+                Ei_sum = Ei_sum / jnp.maximum(jnp.sum(mif, axis=3), 1.0)
+
+        if i_shifts is not None:
+            # shift-pushdown hot path (see the i_shifts note above): the
+            # einsum structure per candidate is identical to the
+            # i_shifts-is-None branch below — only the batch frame differs,
+            # with rolls confined to [B,T,d]/[B,d]/[B,T,m] tensors. The mask
+            # mi[:, c] mixes the ROLLED item count with the UN-rolled user
+            # slot_valid (the candidate's history is always windowed by the
+            # TARGET's t*), so the item-frame mask is mi[:, c] rolled
+            # forward, not mi[:, 0].
+            Ei0 = Ei[:, 0]
+            cus, cis = [], []
+            for c in range(C):
+                s = None if c == 0 else i_shifts[c - 1]
+                mi_item = (mi[:, c] if s is None
+                           else jnp.roll(mi[:, c], s, axis=0))   # [B,T,m]
+                mif_c = mi_item[..., None].astype(Ei.dtype)
+                Ei_sum_item = jnp.sum(Ei0 * mif_c, axis=2)       # [B,T,d]
+                if self.pool == "mean":
+                    Ei_sum_item = Ei_sum_item / jnp.maximum(
+                        jnp.sum(mif_c, axis=2), 1.0)
+                # user-aligned frame: user-side scores against the rolled
+                # item summary (roll back: index b reads item b+s's summary)
+                Ei_sum_c = (Ei_sum_item if s is None
+                            else jnp.roll(Ei_sum_item, -s, axis=0))
+                su_c = jnp.einsum("btnd,btd->btn", EuW, Ei_sum_c) * scale
+                if self.target_aware:
+                    su_c += jnp.einsum("btnd,bd->btn", Eu, ei[:, c]) * scale
+                a_c = masked_softmax(su_c, mu)
+                cus.append(jnp.einsum("btn,btnd->btd", a_c, Eu))
+                # item-aligned frame: roll the user summaries FORWARD so
+                # index b' pairs Ei0[b'] with user b'-s, then roll the
+                # [B,T,d] result back
+                EuW_sum_c = (EuW_sum if s is None
+                             else jnp.roll(EuW_sum, s, axis=0))
+                si_c = jnp.einsum("btmd,btd->btm", Ei0, EuW_sum_c) * scale
+                if self.target_aware:
+                    eu_s = eu if s is None else jnp.roll(eu, s, axis=0)
+                    si_c += jnp.einsum("btmd,bd->btm", Ei0, eu_s) * scale
+                b_c = masked_softmax(si_c, mi_item)
+                ci_c = jnp.einsum("btm,btmd->btd", b_c, Ei0)
+                cis.append(ci_c if s is None
+                           else jnp.roll(ci_c, -s, axis=0))
+            return jnp.stack(cus, 1), jnp.stack(cis, 1)
 
         if C <= 8:
             # Unroll the candidate axis: einsums carrying a tiny c dim lower

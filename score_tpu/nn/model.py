@@ -153,7 +153,14 @@ class ScoreModel(nn.Module):
 
         if dual:
             Ei = self.tables.user_emb(batch["i_hist"]).astype(cdt)
-            if shifts is not None:
+            if shifts is not None and cfg.slot_agg != "coattn":
+                # coattn takes the un-rolled [B,1,T,m,d] tensor plus the
+                # shifts; by default (coattn.PUSH_ROLLS=False) it
+                # materializes the same rolled concat internally — the
+                # shift-pushdown alternative (rolls confined to [B,T,d]
+                # summaries) measured 7% SLOWER and is kept only as an
+                # equivalence-tested probe (BASELINE.md r3). The other
+                # aggregations keep the materialized form here.
                 Ei = rolls(Ei)
             mi = _nbr_mask(i_cnt, Ei.shape[3],
                            sv[:, None])                          # [B,C,T,m]
@@ -163,7 +170,8 @@ class ScoreModel(nn.Module):
         cu_shared = None        # [B,T,d] when candidate-independent
         if cfg.slot_agg == "coattn":
             assert dual, "co-attention requires both sides"
-            cu, ci = self.coattn(Eu, Ei, mu, mi, eu, ei)         # [B,C,T,d]
+            cu, ci = self.coattn(Eu, Ei, mu, mi, eu, ei,
+                                 i_shifts=shifts)                # [B,C,T,d]
         elif cfg.slot_agg == "attn":
             cu = self.slot_attn_u(Eu[:, None], mu[:, None], ei)  # [B,C,T,d]
             if dual:

@@ -33,12 +33,14 @@ TRAIN_CALLS = 6
 
 def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
                 pallas_coattn=False, num_train_neg=1, neg_mode="uniform",
-                dotfree=False, gru_unroll=1, embed_dim=EMBED_DIM):
+                dotfree=False, gru_unroll=1, embed_dim=EMBED_DIM,
+                push_rolls=True):
     import jax
     from score_tpu.config import configs3
     from score_tpu.nn import coattn as _coattn
     from score_tpu.nn import encoder as _encoder
     _coattn.DOT_FREE = dotfree
+    _coattn.PUSH_ROLLS = push_rolls
     _encoder.SCAN_UNROLL = gru_unroll
     from score_tpu.data.pipeline import TargetIterator
     from score_tpu.train import (_stack_batches, build_model, init_state,
@@ -128,6 +130,8 @@ VARIANTS = {
                               neg_mode="inbatch_iw", embed_dim=64),
     "b4096_bf16_iw_d128": dict(batch=4096, compute_dtype="bfloat16",
                                neg_mode="inbatch_iw", embed_dim=128),
+    "b4096_bf16_iw_noroll": dict(batch=4096, compute_dtype="bfloat16",
+                                 neg_mode="inbatch_iw", push_rolls=False),
 }
 
 

@@ -204,3 +204,61 @@ def test_dot_free_candidates_path_matches_einsum(rng):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_shift_pushdown_matches_materialized_rolls(rng):
+    """The i_shifts shift-pushdown path (coattn.PUSH_ROLLS=True) must equal
+    the materialized-roll path bit-for-bit in f32, values and grads —
+    including the subtlety that mi[:, c] mixes the rolled item count with
+    the UN-rolled target slot_valid."""
+    from score_tpu.nn import coattn as ca
+
+    B, T, n, m, d = 5, 4, 3, 6, 8
+    k = 2                      # negatives -> C = 1 + k
+    Eu = jnp.asarray(rng.normal(size=(B, T, n, d)).astype(np.float32))
+    Ei0 = jnp.asarray(rng.normal(size=(B, 1, T, m, d)).astype(np.float32))
+    mu = jnp.asarray(rng.random((B, T, n)) > 0.3)
+    eu = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    shifts = jnp.asarray([1, 3], dtype=jnp.int32)
+    # per-candidate ei and mi as ScoreModel builds them: batch-rolls of the
+    # positive's tensors, mask = rolled count AND un-rolled slot_valid
+    ei1 = jnp.asarray(rng.normal(size=(B, 1, d)).astype(np.float32))
+    ei = jnp.concatenate(
+        [ei1] + [jnp.roll(ei1, -s, axis=0) for s in shifts], axis=1)
+    sv = jnp.asarray(rng.random((B, T)) > 0.25)
+    i_cnt1 = jnp.asarray(rng.integers(0, m + 1, size=(B, 1, T)))
+    i_cnt = jnp.concatenate(
+        [i_cnt1] + [jnp.roll(i_cnt1, -s, axis=0) for s in shifts], axis=1)
+    j = jnp.arange(m)[None, None, None, :]
+    mi = (j < i_cnt[..., None]) & sv[:, None, :, None]      # [B,C,T,m]
+
+    mod = ca.CrossCoAttention(pool="sum", target_aware=True)
+    params = mod.init(jax.random.PRNGKey(0), Eu, Ei0, mu, mi, eu, ei,
+                      i_shifts=shifts)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(
+            rng.normal(size=x.shape).astype(np.float32)) * 0.1, params)
+
+    def run(flag):
+        old = ca.PUSH_ROLLS
+        ca.PUSH_ROLLS = flag
+        try:
+            def loss(p, Eu_, Ei_):
+                cu, ci = mod.apply(p, Eu_, Ei_, mu, mi, eu, ei,
+                                   i_shifts=shifts)
+                return jnp.sum(cu ** 2) + 0.5 * jnp.sum(ci ** 2), (cu, ci)
+            (val, outs), grads = jax.value_and_grad(
+                loss, argnums=(0, 1, 2), has_aux=True)(params, Eu, Ei0)
+            return outs, grads
+        finally:
+            ca.PUSH_ROLLS = old
+
+    (cu0, ci0), g0 = run(False)
+    (cu1, ci1), g1 = run(True)
+    np.testing.assert_allclose(np.asarray(cu0), np.asarray(cu1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ci0), np.asarray(ci1),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
