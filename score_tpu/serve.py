@@ -22,10 +22,10 @@ import numpy as np
 
 from .config import Config
 from .data.schema import Dataset
-from .graph import DeviceGraph, device_graph, gather_batch
+from .graph import DeviceGraph, device_graph, gather_candidate_batch
 from .train import build_model
 
-_BUCKETS = (16, 64, 256, 1024, 4096)
+_BUCKETS = (1, 16, 64, 256, 1024, 4096)
 
 
 def _bucket(n: int) -> int:
@@ -50,14 +50,12 @@ class ScoringService:
         self.slot = ds.graph.num_slots if slot is None else slot
 
         @jax.jit
-        def _score(params, graph, user, items, slot):
-            B = items.shape[0]
-            users = jnp.full((B,), user, jnp.int32)
-            slots = jnp.full((B,), slot, jnp.int32)
-            mb = gather_batch(graph, users, items, slots)
-            return self.model.apply({"params": params}, mb)
+        def _score_cand(params, graph, users, cand, slots):
+            mb = gather_candidate_batch(graph, users, cand, slots)
+            return self.model.apply({"params": params}, mb,
+                                    method=self.model.score_candidates)
 
-        self._score = _score
+        self._score_cand = _score_cand
 
     @classmethod
     def from_checkpoint(cls, cfg: Config, ds: Dataset, ckpt_dir: str,
@@ -78,15 +76,42 @@ class ScoringService:
         return cls(cfg, ds, restored["params"])
 
     def score(self, user_id: int, item_ids: Sequence[int]) -> np.ndarray:
-        """Pointwise scores for one user against a candidate list."""
+        """Pointwise scores for one user against a candidate list.
+
+        Runs in candidates form (R=1): the user history tower is computed
+        ONCE for the request, not once per candidate — at full-catalog
+        candidate counts this is the difference between one and ~10^5 GRU
+        passes (ScoreModel.score_candidates; SURVEY.md §3.4)."""
         items = np.asarray(item_ids, np.int32)
-        n = items.size
-        b = _bucket(n)
-        padded = np.zeros(b, np.int32)
-        padded[:n] = items
-        out = self._score(self.params, self.graph, jnp.int32(user_id),
-                          jnp.asarray(padded), jnp.int32(self.slot))
-        return np.asarray(out)[:n]
+        return self.score_batch(np.asarray([user_id], np.int32),
+                                items[None, :])[0]
+
+    def score_batch(self, user_ids: Sequence[int],
+                    item_ids) -> np.ndarray:
+        """Scores for R independent requests in ONE dispatch.
+
+        `user_ids`: [R]; `item_ids`: [R, n] (one candidate list per user).
+        Returns [R, n]. This is the serving-throughput path: the per-call
+        relay dispatch RTT (~25 ms on this sandbox, CLAUDE.md) amortizes
+        over R requests, and the candidates form computes each user's
+        history tower once — not once per candidate (SURVEY.md §3.4).
+        """
+        users = np.asarray(user_ids, np.int32)
+        items = np.asarray(item_ids, np.int32)
+        if items.ndim != 2 or items.shape[0] != users.size:
+            raise ValueError(
+                f"item_ids must be [R, n] with R == len(user_ids); got "
+                f"{items.shape} vs R={users.size}")
+        r, n = items.shape
+        rb, nb = _bucket(r), _bucket(n)
+        pu = np.zeros(rb, np.int32)
+        pu[:r] = users
+        pi = np.zeros((rb, nb), np.int32)
+        pi[:r, :n] = items
+        slots = np.full(rb, self.slot, np.int32)
+        out = self._score_cand(self.params, self.graph, jnp.asarray(pu),
+                               jnp.asarray(pi), jnp.asarray(slots))
+        return np.asarray(out)[:r, :n]
 
     def topk(self, user_id: int, k: int = 10,
              candidates: Optional[Sequence[int]] = None

@@ -48,7 +48,13 @@ def main():
     gen_kw.update({k: float(v) if "." in v else int(v)
                    for k, v in kv.items()})
 
-    tag = dataset if mode == "collab" else f"{dataset}_{mode}"
+    # the raw-CSV cache must key on the generator knobs, or a re-run with
+    # different num_users/num_events silently reuses the stale file
+    # (prep_datasets._load_or_synth skips synthesis when the path exists)
+    import hashlib
+    gh = hashlib.md5(json.dumps(gen_kw, sort_keys=True).encode()) \
+        .hexdigest()[:6]
+    tag = (dataset if mode == "collab" else f"{dataset}_{mode}") + f"_{gh}"
     ds = PREP[dataset](f"/tmp/score_tpu_data/ladder_{tag}",
                        raw_path=f"/tmp/score_tpu_raw/ladder_{tag}.csv",
                        synth_kw=gen_kw)

@@ -1,0 +1,113 @@
+"""Serving-path benchmark: single-request p50 latency vs batched throughput.
+
+The driver's p50 metric (BASELINE.json:2) sits at this sandbox's ~23-25 ms
+relay dispatch RTT floor (BASELINE.md round-3 serving A/B) — transport, not
+model. The serving lever is therefore request batching: ScoringService
+.score_batch stacks R independent (user, candidate-list) requests into one
+dispatch in candidates form (user tower computed once per user). This script
+pins how requests/s scales with R, single-request p50 for parity with
+bench.py, and full-catalog topk latency.
+
+Usage: python scripts/serve_bench.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+NUM_USERS = 50_000
+NUM_ITEMS = 100_000
+NUM_EVENTS = 2_000_000
+NUM_SLOTS = 9
+FANOUT = 10
+EMBED_DIM = 32
+C = 101          # 1 pos + 100 negs, the eval/serving protocol
+REPS = 30
+
+
+def main():
+    import jax
+
+    from score_tpu.config import configs3
+    from score_tpu.data import synth
+    from score_tpu.data.prep_common import build_dataset
+    from score_tpu.graph import device_graph
+    from score_tpu.serve import ScoringService
+    from score_tpu.train import build_model, init_state
+
+    user, item, ts = synth.synth_events(
+        NUM_USERS, NUM_ITEMS, NUM_EVENTS, num_slots=NUM_SLOTS, seed=0)
+    ds = build_dataset(user, item, ts, num_slots=NUM_SLOTS,
+                       user_fanout=FANOUT, item_fanout=FANOUT,
+                       num_eval_neg=100, min_user=3, min_item=3, seed=0,
+                       dataset_name="servebench")
+    cfg = configs3()
+    cfg = cfg.replace(model=cfg.model.__class__(
+        embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
+        sides="dual", slot_agg="coattn", seq_pool="attn", target_aware=True,
+        compute_dtype="bfloat16"))
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    graph = device_graph(ds.graph)
+    state = init_state(cfg, model, graph, jax.random.PRNGKey(0))
+    svc = ScoringService(cfg, ds, state.params)
+
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # --- single-request p50 (parity with bench.py's metric) ---
+    items1 = rng.integers(1, ds.num_items + 1, size=C).astype(np.int32)
+    svc.score(7, items1)                      # compile warmup
+    lat = []
+    for _ in range(3 * REPS):
+        t0 = time.time()
+        svc.score(7, items1)
+        lat.append(time.time() - t0)
+    results["single_p50_ms"] = round(float(np.median(lat)) * 1e3, 2)
+    results["single_req_per_s"] = round(1e3 / results["single_p50_ms"], 1)
+    print(json.dumps({"single_request": results.copy()}), flush=True)
+
+    # --- batched requests: R users x C candidates in one dispatch ---
+    for R in (16, 64, 256, 1024):
+        users = rng.integers(1, ds.num_users + 1, size=R).astype(np.int32)
+        cand = rng.integers(1, ds.num_items + 1,
+                            size=(R, C)).astype(np.int32)
+        svc.score_batch(users, cand)          # compile warmup (per bucket)
+        best = float("inf")
+        for _ in range(2):                    # best-of-2 contention windows
+            t0 = time.time()
+            for _ in range(max(REPS // 4, 4)):
+                svc.score_batch(users, cand)
+            best = min(best, (time.time() - t0) / max(REPS // 4, 4))
+        row = dict(R=R, C=C, ms=round(best * 1e3, 2),
+                   req_per_s=round(R / best, 1),
+                   cand_per_s=round(R * C / best))
+        results[f"batch_R{R}"] = row
+        print(json.dumps(row), flush=True)
+
+    # --- full-catalog topk for one user ---
+    svc.topk(7, k=10)                         # compile warmup
+    lat = []
+    for _ in range(8):
+        t0 = time.time()
+        svc.topk(7, k=10)
+        lat.append(time.time() - t0)
+    results["topk_full_catalog_ms"] = round(float(np.median(lat)) * 1e3, 1)
+    results["catalog_items"] = int(ds.num_items)
+    print(json.dumps({"topk_full_catalog_ms":
+                      results["topk_full_catalog_ms"],
+                      "catalog_items": results["catalog_items"]}),
+          flush=True)
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/serve_bench.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -200,3 +200,22 @@ def test_scoring_service_from_checkpoint(tiny_dataset, tmp_path):
     mgr.save("best", state, (0, 0), 0.7, 10)
     svc = ScoringService.from_checkpoint(cfg, tiny_dataset, str(tmp_path))
     assert svc.score(1, [1, 2]).shape == (2,)
+
+def test_scoring_service_batch_matches_single(tiny_dataset):
+    """score_batch (one-dispatch candidates form) ≡ per-request score()."""
+    from score_tpu.serve import ScoringService
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    svc = ScoringService(cfg, tiny_dataset, state.params)
+    users = [3, 1, 5]
+    items = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 2]], np.int32)
+    out = svc.score_batch(users, items)
+    assert out.shape == (3, 3)
+    for r, u in enumerate(users):
+        np.testing.assert_allclose(out[r], svc.score(u, items[r]),
+                                   rtol=1e-5, atol=1e-5)
+    # request-bucket padding invariance: adding a request leaves others fixed
+    out2 = svc.score_batch(users + [2], np.vstack([items, items[:1]]))
+    np.testing.assert_allclose(out, out2[:3], rtol=1e-5, atol=1e-6)
