@@ -79,12 +79,3 @@ def eval_index_batches(n: int, batch_size: int
         idx = np.arange(start, start + batch_size)
         weight = (idx < n).astype(np.float32)
         yield np.minimum(idx, n - 1), weight
-
-
-def eval_batches(targets: Targets, batch_size: int) -> Iterator[dict]:
-    """Fixed-order host-side eval batches over a Targets split; padding
-    contract owned by eval_index_batches."""
-    for idx, weight in eval_index_batches(len(targets), batch_size):
-        yield dict(user=targets.user[idx], item=targets.item[idx],
-                   slot=targets.slot[idx], neg=targets.neg[idx],
-                   weight=weight)

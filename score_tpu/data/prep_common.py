@@ -51,7 +51,17 @@ def remap_ids(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def bucket_slots(ts: np.ndarray, num_slots: int) -> np.ndarray:
-    """Equal-width time-slot assignment over [ts.min(), ts.max()]."""
+    """Equal-width time-slot assignment over [ts.min(), ts.max()].
+
+    Integer timestamps route through the native O(E) kernel
+    (native/prep_kernels.cc:bucket_slots — same double-precision formula,
+    bit-identical output, equivalence-tested in tests/test_native.py); the
+    numpy path is the reference and the fallback."""
+    if np.issubdtype(np.asarray(ts).dtype, np.integer):
+        from .. import native
+        out = native.bucket_slots_native(ts, num_slots)
+        if out is not None:
+            return out
     lo, hi = ts.min(), ts.max()
     width = max((hi - lo) / num_slots, 1e-9)
     slot = np.minimum(((ts - lo) / width).astype(np.int64), num_slots - 1)

@@ -98,14 +98,3 @@ def gather_rows_pallas(table: jnp.ndarray, ids: jnp.ndarray,
         interpret=interpret,
     )(flat, table)
     return out[:n].reshape(shape + (d,))
-
-
-def gather_rows_sorted(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """Locality-friendly gather: sort ids, take, unsort — turns random HBM
-    row reads into mostly-ascending ones (and duplicates become adjacent)."""
-    shape = ids.shape
-    flat = ids.reshape(-1)
-    order = jnp.argsort(flat)
-    sorted_rows = jnp.take(table, flat[order], axis=0)
-    out = jnp.zeros_like(sorted_rows).at[order].set(sorted_rows)
-    return out.reshape(shape + (table.shape[1],))

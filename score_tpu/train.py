@@ -313,6 +313,12 @@ def evaluate(eval_step: Callable, params, graph: DeviceGraph, targets,
     n = len(targets)
     sel = np.arange(n)
     if max_targets is not None and n > max_targets:
+        # Deliberately a FIXED seed, independent of cfg.train.seed: every run
+        # (and every seed of a multi-seed sweep) early-stops against the same
+        # val subsample, so val curves are comparable across runs. The known
+        # cost (VERDICT.md r3 weak #7): multi-seed runs share this subsample,
+        # mildly correlating their model selection; final test metrics use
+        # the FULL split (max_targets=None), so pinned numbers are unaffected.
         sel = np.random.default_rng(0).choice(n, max_targets, replace=False)
         n = max_targets
     users = jnp.asarray(targets.user[sel])

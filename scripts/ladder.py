@@ -52,7 +52,10 @@ def main():
     # different num_users/num_events silently reuses the stale file
     # (prep_datasets._load_or_synth skips synthesis when the path exists)
     import hashlib
-    gh = hashlib.md5(json.dumps(gen_kw, sort_keys=True).encode()) \
+    # canonicalize numerics (3 vs 3.0 must hash identically — ADVICE.md r3)
+    canon = {k: (float(v) if isinstance(v, (int, float)) else v)
+             for k, v in gen_kw.items()}
+    gh = hashlib.md5(json.dumps(canon, sort_keys=True).encode()) \
         .hexdigest()[:6]
     tag = (dataset if mode == "collab" else f"{dataset}_{mode}") + f"_{gh}"
     ds = PREP[dataset](f"/tmp/score_tpu_data/ladder_{tag}",

@@ -47,10 +47,13 @@ def main():
                        user_fanout=FANOUT, item_fanout=FANOUT,
                        num_eval_neg=100, min_user=3, min_item=3, seed=0,
                        dataset_name="servebench")
+    import dataclasses
     cfg = configs3()
-    cfg = cfg.replace(model=cfg.model.__class__(
-        embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
-        sides="dual", slot_agg="coattn", seq_pool="attn", target_aware=True,
+    # replace() overrides ONLY the bench knobs; every other ModelConfig field
+    # keeps its configs3 value (ADVICE.md r3: rebuilding from scratch would
+    # silently reset unlisted fields to dataclass defaults)
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
         compute_dtype="bfloat16"))
     model = build_model(cfg, ds.num_users, ds.num_items)
     graph = device_graph(ds.graph)

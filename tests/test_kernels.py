@@ -121,15 +121,6 @@ def test_gather_kernel_nd_ids(rng):
         np.asarray(got), np.asarray(jnp.take(table, ids, axis=0)))
 
 
-def test_gather_sorted_matches_take(rng):
-    from score_tpu.kernels.gather import gather_rows_sorted
-    table = jnp.asarray(rng.normal(size=(100, 8)).astype(np.float32))
-    ids = jnp.asarray(rng.integers(0, 100, size=(501,)).astype(np.int32))
-    np.testing.assert_array_equal(
-        np.asarray(gather_rows_sorted(table, ids)),
-        np.asarray(jnp.take(table, ids, axis=0)))
-
-
 def test_coattn_kernel_under_jit(rng):
     B, T, n, m, d = 2, 5, 4, 6, 8
     Eu, Ei, mu, mi, Wr, eu, ei = _inputs(rng, B, T, n, m, d)

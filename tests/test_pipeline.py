@@ -3,8 +3,7 @@
 import numpy as np
 import pytest
 
-from score_tpu.data.pipeline import (TargetIterator, eval_batches,
-                                     eval_index_batches)
+from score_tpu.data.pipeline import TargetIterator, eval_index_batches
 
 
 def test_iterator_covers_epoch(tiny_dataset):
@@ -61,21 +60,6 @@ def test_iterator_epoch_reshuffles(tiny_dataset):
 def test_batch_size_too_large(tiny_dataset):
     with pytest.raises(ValueError):
         TargetIterator(tiny_dataset.val, batch_size=10 ** 9)
-
-
-def test_eval_batches_padding(tiny_dataset):
-    bs = 50
-    batches = list(eval_batches(tiny_dataset.val, bs))
-    n = len(tiny_dataset.val)
-    total_w = sum(b["weight"].sum() for b in batches)
-    assert total_w == n
-    for b in batches:
-        assert b["user"].shape == (bs,)
-        assert b["neg"].shape[0] == bs
-    tail = batches[-1]
-    pad = int(bs - (n % bs)) % bs
-    if pad:
-        assert (tail["weight"][-pad:] == 0).all()
 
 
 def test_eval_index_batches_contract(tiny_dataset):
