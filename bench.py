@@ -168,6 +168,9 @@ def main() -> None:
             "compute_dtype": COMPUTE_DTYPE,
             "backend": jax.default_backend(),
             "prep_s": round(prep_s, 1),
+            # per-phase attribution so a host-contended prep (the r3 73.2s
+            # anomaly, VERDICT.md r3 weak #4) self-attributes in the record
+            "prep_phase_s": ds.meta.get("prep_phase_s", {}),
         },
     }))
 

@@ -121,6 +121,17 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
     log_every_steps: int = 50
+    # Stride-K table updates (VERDICT.md r3 #3): embedding-table grads are
+    # computed and applied only on steps with step % K == 0; dense params
+    # update every step. The backward pass of a non-update step produces NO
+    # table-grad scatter-adds — the pinned 42% of step time (BASELINE.md r3
+    # profile) is skipped on (K-1)/K of steps. Semantics change: tables
+    # train on 1/K of the batches (subsampled, not summed — summed
+    # accumulation cannot win because scatter cost is per-update
+    # issue-bound, BASELINE.md r2/r3 scatter roofline; measured in
+    # scripts/scatter_bench.py accumulate-vs-direct probe). Quality-gated
+    # at 3 seeds before adoption (scripts/table_stride_ablation.py).
+    table_update_every: int = 1
 
     def __post_init__(self):
         assert self.optimizer in ("adam", "adamw", "adagrad", "sgd"), \
@@ -148,9 +159,18 @@ class ShardingConfig:
     # smaller static capacity shrinks every exchange buffer; must upper-bound
     # the per-device unique-id count (sharding.a2a_lookup docstring).
     a2a_capacity: int = 0
+    # What the driver does when the a2a overflow counter fires (capacity <
+    # per-device uniques => the lookup read aliased rows and every metric
+    # from that step on is corrupt — SURVEY.md §7.3 item 1):
+    #   'raise'  abort the run with the capacity hint (default: a long
+    #            unattended configs4 run must not train on garbage forever
+    #            after one log line — VERDICT.md r3 #8)
+    #   'warn'   print the warning and keep going (debugging/bring-up)
+    overflow_action: str = "raise"
 
     def __post_init__(self):
         assert self.lookup_mode in ("local", "psum", "a2a"), self.lookup_mode
+        assert self.overflow_action in ("warn", "raise"), self.overflow_action
 
 
 @dataclasses.dataclass(frozen=True)

@@ -120,11 +120,37 @@ class ScoreModel(nn.Module):
         cdt = jnp.dtype(cfg.compute_dtype)
         dual = cfg.sides == "dual"
 
+        sv = batch["slot_valid"]                                 # [B, T]
+        shifts = batch.get("neg_shift")
+        if shifts is not None and self.lookup_fn is not None:
+            # Sharded-lookup path (configs4): roll the item-side IDS before
+            # the embedding exchange instead of the embedded tensors. Under
+            # a batch sharded over the mesh, rolling [B,1,T,m,d] f32
+            # activations lowers to an all-gather of the full embedded
+            # tensor per step plus its transpose in the backward — the
+            # dominant collective of the compiled configs4 step (143 MB of
+            # 290 MB at the bench shape, COMM_MODEL_r4.json). Rolling the
+            # int32 ids moves 1/d-th the bytes, has no backward, and the
+            # duplicate ids the roll creates collapse in the a2a dedup, so
+            # the lookup exchange grows only by the (tiny) per-device
+            # unique-count delta. embedding(roll(ids)) == roll(embedding)
+            # exactly, so this reuses the generic C>1 path below
+            # (equivalence-tested vs the single-device roll path in
+            # tests/test_sharding.py).
+            assert batch["cand"].shape[1] == 1, (
+                f"neg_shift requires C==1 candidates, got "
+                f"C={batch['cand'].shape[1]}")
+            rolls_ids = lambda x: jnp.concatenate(
+                [x] + [jnp.roll(x, -s, axis=0) for s in shifts], axis=1)
+            batch = dict(batch,
+                         cand=rolls_ids(batch["cand"]),
+                         i_hist=rolls_ids(batch["i_hist"]),
+                         i_cnt=rolls_ids(batch["i_cnt"]))
+            shifts = None
+
         eu = self.tables.user_emb(batch["user"]).astype(cdt)     # [B, d]
         ei = self.tables.item_emb(batch["cand"]).astype(cdt)     # [B, C, d]
-        sv = batch["slot_valid"]                                 # [B, T]
         i_cnt = batch["i_cnt"]
-        shifts = batch.get("neg_shift")
         if shifts is not None:
             # contract: rolls only make sense against a single positive per
             # example — a C>1 candidate axis would interleave candidates and

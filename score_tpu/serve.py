@@ -10,6 +10,20 @@ model + device-resident graph into a warm, jitted candidate scorer:
 All scoring shapes are padded to fixed buckets so repeated requests hit the
 jit cache; histories are gathered on-device from the resident adjacency
 (SURVEY.md §3.4: this path is what the driver's p50 metric times).
+
+Catalog scale (VERDICT.md r3 #1): candidate lists wider than
+`candidate_chunk` are scored in fixed-size blocks streamed through ONE warm
+jit shape — a full-catalog `topk` at the pinned 1e8-prep scale (2.68M items)
+materializes per-dispatch tensors of only [R, chunk, T, m, d] instead of the
+~15 GB a single 2.68M-candidate dispatch would need. Block dispatches are
+issued back-to-back and read back once at the end, so the ~25 ms relay RTT
+(CLAUDE.md) pipelines instead of serializing.
+
+configs4 serving (VERDICT.md r3 #6): pass `mesh` (and a lookup_fn for the
+explicit a2a path) to serve a ROW-SHARDED checkpoint — tables and graph
+shard over Mesh('data','rows') exactly as in training, and
+`from_checkpoint(..., mesh=...)` restores the orbax checkpoint directly
+onto the mesh (sharded template, no host gather).
 """
 
 from __future__ import annotations
@@ -36,14 +50,28 @@ def _bucket(n: int) -> int:
 
 
 class ScoringService:
-    """Warm jitted scorer over the trained model + graph store."""
+    """Warm jitted scorer over the trained model + graph store.
+
+    mesh/lookup_fn: serve a configs4 model — graph and table params are
+    sharded over the mesh (rows axis) and the score dispatch runs the same
+    GSPMD or explicit-exchange lookup path as training. Single-device by
+    default.
+    """
 
     def __init__(self, cfg: Config, ds: Dataset, params,
-                 slot: Optional[int] = None):
+                 slot: Optional[int] = None, mesh=None, lookup_fn=None,
+                 candidate_chunk: int = 4096):
         self.cfg = cfg
+        self.mesh = mesh
+        self.candidate_chunk = int(candidate_chunk)
         self.graph: DeviceGraph = device_graph(ds.graph)
         self.num_items = ds.num_items
-        self.model = build_model(cfg, ds.num_users, ds.num_items)
+        self.model = build_model(cfg, ds.num_users, ds.num_items,
+                                 lookup_fn=lookup_fn)
+        if mesh is not None:
+            from .sharding import shard_graph, shard_tree
+            self.graph = shard_graph(mesh, self.graph)
+            params = shard_tree(mesh, params)
         self.params = params
         # default scoring slot: "now" = one past the last slot, so the full
         # history is visible (no leakage concern at serving time)
@@ -59,7 +87,12 @@ class ScoringService:
 
     @classmethod
     def from_checkpoint(cls, cfg: Config, ds: Dataset, ckpt_dir: str,
-                        which: str = "best") -> "ScoringService":
+                        which: str = "best", mesh=None,
+                        lookup_fn=None) -> "ScoringService":
+        """Restore a checkpoint and serve it. With `mesh`, the restore
+        template is sharded FIRST, so orbax materializes row-sharded tables
+        directly onto the mesh — a checkpoint bigger than one chip's HBM
+        never exists unsharded anywhere (SURVEY.md §5 'Checkpoint')."""
         import jax
 
         from .checkpoint import CheckpointManager
@@ -67,13 +100,25 @@ class ScoringService:
         from .train import init_state
 
         graph = device_graph(ds.graph)
-        model = build_model(cfg, ds.num_users, ds.num_items)
+        model = build_model(cfg, ds.num_users, ds.num_items,
+                            lookup_fn=lookup_fn)
         state = init_state(cfg, model, graph, jax.random.PRNGKey(0))
+        if mesh is not None:
+            from .sharding import shard_state
+            state = shard_state(mesh, state)
         mgr = CheckpointManager(ckpt_dir)
         restored = mgr.restore(which, state)
         if restored is None:
             raise FileNotFoundError(f"no '{which}' checkpoint in {ckpt_dir}")
-        return cls(cfg, ds, restored["params"])
+        # params already carry their (possibly sharded) placement from the
+        # restore template; skip the __init__ re-shard of raw host arrays
+        svc = cls(cfg, ds, None, mesh=None, lookup_fn=lookup_fn)
+        svc.mesh = mesh
+        if mesh is not None:
+            from .sharding import shard_graph
+            svc.graph = shard_graph(mesh, svc.graph)
+        svc.params = restored["params"]
+        return svc
 
     def score(self, user_id: int, item_ids: Sequence[int]) -> np.ndarray:
         """Pointwise scores for one user against a candidate list.
@@ -86,15 +131,33 @@ class ScoringService:
         return self.score_batch(np.asarray([user_id], np.int32),
                                 items[None, :])[0]
 
+    def _dispatch(self, users: np.ndarray, items: np.ndarray) -> jax.Array:
+        """One padded jit dispatch: [R] users x [R, n] candidates -> device
+        scores [rb, nb] (bucket-padded; caller slices after readback)."""
+        r, n = items.shape
+        rb, nb = _bucket(r), _bucket(n)
+        pu = np.zeros(rb, np.int32)
+        pu[:r] = users
+        pi = np.zeros((rb, nb), np.int32)
+        pi[:r, :n] = items
+        slots = np.full(rb, self.slot, np.int32)
+        return self._score_cand(self.params, self.graph, jnp.asarray(pu),
+                                jnp.asarray(pi), jnp.asarray(slots))
+
     def score_batch(self, user_ids: Sequence[int],
                     item_ids) -> np.ndarray:
-        """Scores for R independent requests in ONE dispatch.
+        """Scores for R independent requests, chunked over wide candidate
+        lists.
 
         `user_ids`: [R]; `item_ids`: [R, n] (one candidate list per user).
         Returns [R, n]. This is the serving-throughput path: the per-call
         relay dispatch RTT (~25 ms on this sandbox, CLAUDE.md) amortizes
         over R requests, and the candidates form computes each user's
         history tower once — not once per candidate (SURVEY.md §3.4).
+
+        n > candidate_chunk splits into fixed-width blocks sharing one jit
+        shape; all block dispatches are issued before any readback, so the
+        device pipelines them (catalog-scale path, VERDICT.md r3 #1).
         """
         users = np.asarray(user_ids, np.int32)
         items = np.asarray(item_ids, np.int32)
@@ -103,24 +166,33 @@ class ScoringService:
                 f"item_ids must be [R, n] with R == len(user_ids); got "
                 f"{items.shape} vs R={users.size}")
         r, n = items.shape
-        rb, nb = _bucket(r), _bucket(n)
-        pu = np.zeros(rb, np.int32)
-        pu[:r] = users
-        pi = np.zeros((rb, nb), np.int32)
-        pi[:r, :n] = items
-        slots = np.full(rb, self.slot, np.int32)
-        out = self._score_cand(self.params, self.graph, jnp.asarray(pu),
-                               jnp.asarray(pi), jnp.asarray(slots))
-        return np.asarray(out)[:r, :n]
+        chunk = self.candidate_chunk
+        if n <= chunk:
+            return np.asarray(self._dispatch(users, items))[:r, :n]
+        # fixed-width blocks (ragged tail bucket-padded inside _dispatch);
+        # issue all dispatches first, read back after
+        outs = []
+        for lo in range(0, n, chunk):
+            blk = items[:, lo:lo + chunk]
+            outs.append((self._dispatch(users, blk), blk.shape[1]))
+        return np.concatenate(
+            [np.asarray(o)[:r, :w] for o, w in outs], axis=1)
 
     def topk(self, user_id: int, k: int = 10,
              candidates: Optional[Sequence[int]] = None
              ) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k items for a user over `candidates` (default: full catalog)."""
+        """Top-k items for a user over `candidates` (default: full catalog).
+
+        Full-catalog requests stream through score_batch's fixed-size chunk
+        pipeline — per-dispatch HBM stays [1, chunk, T, m, d]-sized no
+        matter the catalog (2.68M items at the pinned 1e8-prep scale needs
+        ~0.04% of the single-dispatch footprint)."""
         if candidates is None:
             candidates = np.arange(1, self.num_items + 1, dtype=np.int32)
         else:
             candidates = np.asarray(candidates, np.int32)
         scores = self.score(user_id, candidates)
-        order = np.argsort(-scores)[:k]
+        k = min(k, scores.size)
+        part = np.argpartition(-scores, k - 1)[:k]
+        order = part[np.argsort(-scores[part])]
         return candidates[order], scores[order]

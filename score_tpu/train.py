@@ -85,6 +85,26 @@ def init_state(cfg: Config, model: ScoreModel, graph: DeviceGraph,
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
+def _freeze_tables(params):
+    """stop_gradient on embedding-table leaves: the backward pass then
+    produces structural zeros for them — no grad scatter-adds at all (the
+    pinned 42% of the step, BASELINE.md r3 profile). Path rule matches
+    state_spec/_table_l2."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: (jax.lax.stop_gradient(v)
+                      if "table" in jax.tree_util.keystr(p) else v), params)
+
+
+def _keep_table_leaves(old_tree, new_tree):
+    """new_tree with every table-path leaf (params AND adam moments — the
+    moment trees mirror param paths) taken from old_tree instead. Used by
+    the stride-K non-update branch so XLA dead-code-eliminates the zero-grad
+    adam arithmetic on the tables."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, old, new: (old if "table" in jax.tree_util.keystr(p)
+                             else new), old_tree, new_tree)
+
+
 def _table_l2(params) -> jnp.ndarray:
     """Sum of squares over embedding-table params (paper §3.5 λ‖Emb‖²).
     Path-based so baseline archs (MF biases etc.) are covered too."""
@@ -208,9 +228,35 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
             reg = l2 * _table_l2(params) if l2 > 0 else 0.0
             return loss + reg, (loss, logits, diag)
 
-        grads, (loss, logits, diag) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads=grads)
+        stride = cfg.train.table_update_every
+
+        def _grad_apply(s, freeze):
+            fn = ((lambda p: loss_fn(_freeze_tables(p))) if freeze
+                  else loss_fn)
+            grads, aux = jax.grad(fn, has_aux=True)(s.params)
+            return s.apply_gradients(grads=grads), aux
+
+        if stride <= 1:
+            new_state, (loss, logits, diag) = _grad_apply(state, False)
+        else:
+            # Stride-K table updates (TrainConfig.table_update_every): the
+            # runtime executes exactly ONE branch per step (lax.cond), so
+            # (stride-1)/stride of steps skip the table-grad scatter-adds
+            # AND the table adam arithmetic entirely; dense params update
+            # every step. Table params/moments pass through the non-update
+            # branch bit-unchanged (_keep_table_leaves).
+            def _full(s):
+                return _grad_apply(s, False)
+
+            def _dense_only(s):
+                ns, aux = _grad_apply(s, True)
+                ns = ns.replace(
+                    params=_keep_table_leaves(s.params, ns.params),
+                    opt_state=_keep_table_leaves(s.opt_state, ns.opt_state))
+                return ns, aux
+
+            new_state, (loss, logits, diag) = jax.lax.cond(
+                state.step % stride == 0, _full, _dense_only, state)
         ovf = sum(jax.tree_util.tree_leaves(diag),
                   jnp.zeros((), jnp.int32))
         # collision weights feed the monitoring AUC too: in inbatch mode a
@@ -454,10 +500,17 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
             # (SURVEY.md §7.3 item 1). Readback only under a2a.
             ovf = int(m.get("a2a_overflow", 0))
             if ovf > 0:
-                print(f"WARNING step {step}: a2a_lookup capacity overflow "
-                      f"({ovf} uniques dropped) — raise "
-                      f"sharding.a2a_capacity; metrics this step are "
-                      f"corrupt", flush=True)
+                msg = (f"step {step}: a2a_lookup capacity overflow "
+                       f"({ovf} uniques dropped) — raise "
+                       f"sharding.a2a_capacity "
+                       f"(current {cfg.sharding.a2a_capacity}); metrics "
+                       f"from this step on are corrupt")
+                if cfg.sharding.overflow_action == "raise":
+                    # abort rather than let an unattended run train on
+                    # aliased embeddings forever (VERDICT.md r3 #8); the
+                    # periodic 'latest' checkpoint remains the resume point
+                    raise RuntimeError(msg)
+                print("WARNING " + msg, flush=True)
         if verbose and step % cfg.train.log_every_steps == 0:
             loss = float(m["loss"])
             print(f"step {step}/{total_steps} epoch {it.epoch} "

@@ -34,7 +34,12 @@ TRAIN_CALLS = 6
 def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
                 pallas_coattn=False, num_train_neg=1, neg_mode="uniform",
                 dotfree=False, gru_unroll=1, embed_dim=EMBED_DIM,
-                push_rolls=True):
+                push_rolls=False, table_stride=1):
+    # push_rolls default matches the SHIPPED nn.coattn default (False =
+    # materialized rolls; the pushdown lost the r3 A/B). The r3 sweep ran
+    # with True as this function's default, so r3 rows named
+    # 'b4096_bf16_inbatch_iw' measured the pushdown path — the *_noroll row
+    # was the shipped config (BASELINE.md r3 shift-pushdown row).
     import jax
     from score_tpu.config import configs3
     from score_tpu.nn import coattn as _coattn
@@ -54,7 +59,8 @@ def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
             target_aware=True, compute_dtype=compute_dtype),
         data=cfg.data.__class__(num_train_neg=num_train_neg,
                                 train_neg_mode=neg_mode),
-        train=cfg.train.__class__(batch_size=batch))
+        train=cfg.train.__class__(batch_size=batch,
+                                  table_update_every=table_stride))
     model = build_model(cfg, ds.num_users, ds.num_items,
                         use_pallas_coattn=pallas_coattn)
     rng = jax.random.PRNGKey(0)
@@ -132,6 +138,14 @@ VARIANTS = {
                                neg_mode="inbatch_iw", embed_dim=128),
     "b4096_bf16_iw_noroll": dict(batch=4096, compute_dtype="bfloat16",
                                  neg_mode="inbatch_iw", push_rolls=False),
+    "b4096_bf16_iw_pushroll": dict(batch=4096, compute_dtype="bfloat16",
+                                   neg_mode="inbatch_iw", push_rolls=True),
+    # Stride-K table updates (VERDICT.md r3 #3): (K-1)/K of steps skip the
+    # table-grad scatter-adds (42% of the step) + table adam entirely
+    "b4096_bf16_iw_stride2": dict(batch=4096, compute_dtype="bfloat16",
+                                  neg_mode="inbatch_iw", table_stride=2),
+    "b4096_bf16_iw_stride4": dict(batch=4096, compute_dtype="bfloat16",
+                                  neg_mode="inbatch_iw", table_stride=4),
 }
 
 

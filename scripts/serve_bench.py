@@ -9,6 +9,14 @@ pins how requests/s scales with R, single-request p50 for parity with
 bench.py, and full-catalog topk latency.
 
 Usage: python scripts/serve_bench.py [out_json]
+       python scripts/serve_bench.py [out_json] --catalog
+
+--catalog runs the REFERENCE-SCALE serving capacity probe instead
+(VERDICT.md r3 #1): a ~2.7M-item catalog graph (the pinned 1e8-event prep's
+post-filter item count, PREP_BENCH_r3.json) resident in HBM, full-catalog
+topk streamed through ScoringService's fixed-size chunk pipeline — the
+single-dispatch form would need ~15 GB for the item-side neighbor
+embeddings alone and cannot fit v5e HBM.
 """
 
 from __future__ import annotations
@@ -112,5 +120,69 @@ def main():
         json.dump(results, f, indent=2)
 
 
+def catalog_main():
+    """Reference-catalog-scale topk: ~2.7M items HBM-resident, chunked."""
+    import dataclasses
+
+    import jax
+
+    from score_tpu.config import configs3
+    from score_tpu.data import synth
+    from score_tpu.data.prep_common import build_dataset
+    from score_tpu.graph import device_graph
+    from score_tpu.serve import ScoringService
+    from score_tpu.train import build_model, init_state
+
+    t0 = time.time()
+    # sized so the post-filter item count lands at/above the pinned 1e8-prep
+    # catalog (2.68M items, PREP_BENCH_r3.json); min counts 1 keep the
+    # synthetic catalog wide — serving capacity depends on SIZES, not
+    # content. eval negatives are irrelevant here (num_eval_neg=1).
+    user, item, ts = synth.synth_events(
+        1_000_000, 3_200_000, 12_000_000, num_slots=NUM_SLOTS, seed=0)
+    ds = build_dataset(user, item, ts, num_slots=NUM_SLOTS,
+                       user_fanout=FANOUT, item_fanout=FANOUT,
+                       num_eval_neg=1, min_user=1, min_item=1, seed=0,
+                       dataset_name="catalog-scale")
+    prep_s = time.time() - t0
+    print(json.dumps(dict(prep_s=round(prep_s, 1), users=ds.num_users,
+                          items=ds.num_items)), flush=True)
+    assert ds.num_items >= 2_680_000, ds.num_items
+
+    cfg = configs3()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
+        compute_dtype="bfloat16"))
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    graph = device_graph(ds.graph)
+    state = init_state(cfg, model, graph, jax.random.PRNGKey(0))
+    svc = ScoringService(cfg, ds, state.params, candidate_chunk=8192)
+
+    results = dict(catalog_items=int(ds.num_items),
+                   catalog_users=int(ds.num_users),
+                   candidate_chunk=svc.candidate_chunk,
+                   prep_s=round(prep_s, 1))
+    t0 = time.time()
+    items1, scores1 = svc.topk(7, k=10)       # compile warmup included
+    results["topk_first_call_s"] = round(time.time() - t0, 2)
+    assert items1.shape == (10,) and np.isfinite(scores1).all()
+    lat = []
+    for _ in range(3):
+        t0 = time.time()
+        svc.topk(7, k=10)
+        lat.append(time.time() - t0)
+    results["topk_warm_s"] = round(float(np.median(lat)), 2)
+    results["items_per_s"] = round(ds.num_items /
+                                   float(np.median(lat)))
+    print(json.dumps(results), flush=True)
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/serve_catalog.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
 if __name__ == "__main__":
-    main()
+    if "--catalog" in sys.argv:
+        sys.argv.remove("--catalog")
+        catalog_main()
+    else:
+        main()

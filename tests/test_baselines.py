@@ -219,3 +219,111 @@ def test_scoring_service_batch_matches_single(tiny_dataset):
     # request-bucket padding invariance: adding a request leaves others fixed
     out2 = svc.score_batch(users + [2], np.vstack([items, items[:1]]))
     np.testing.assert_allclose(out, out2[:3], rtol=1e-5, atol=1e-6)
+
+
+def test_scoring_service_matches_model_apply(tiny_dataset):
+    """Pin the service path to the flat model forward (ADVICE.md r3):
+    svc.score == a direct model.apply(__call__) on a gather_batch minibatch
+    — an independent oracle, since score() is internally score_batch(R=1)."""
+    import jax.numpy as jnp
+
+    from score_tpu.graph import gather_batch
+    from score_tpu.serve import ScoringService
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    svc = ScoringService(cfg, tiny_dataset, state.params)
+    user, items = 3, np.array([1, 4, 9], np.int32)
+    got = svc.score(user, items)
+    # flat forward: one (user, item) row per candidate, slot = svc.slot
+    B = items.size
+    mb = gather_batch(g, jnp.full((B,), user, jnp.int32), jnp.asarray(items),
+                      jnp.full((B,), svc.slot, jnp.int32))
+    want = np.asarray(model.apply({"params": state.params}, mb))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_scoring_service_chunked_matches_unchunked(tiny_dataset):
+    """Catalog-scale chunking (VERDICT.md r3 #1): a candidate list wider
+    than candidate_chunk streams through fixed-width blocks and must score
+    identically to the one-dispatch path (same jit bucket per block)."""
+    from score_tpu.serve import ScoringService
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    items = rng.integers(1, tiny_dataset.num_items + 1,
+                         size=(2, 40)).astype(np.int32)
+    users = np.array([3, 5], np.int32)
+    big = ScoringService(cfg, tiny_dataset, state.params)
+    small = ScoringService(cfg, tiny_dataset, state.params,
+                           candidate_chunk=16)  # 40 -> blocks 16/16/8
+    np.testing.assert_allclose(small.score_batch(users, items),
+                               big.score_batch(users, items),
+                               rtol=1e-5, atol=1e-5)
+    # full-catalog topk through the chunk pipeline agrees with a host argsort
+    # over the unchunked scores
+    ti, ts = small.topk(3, k=5)
+    all_scores = big.score(3, np.arange(1, tiny_dataset.num_items + 1))
+    want_idx = np.argsort(-all_scores)[:5]
+    np.testing.assert_array_equal(np.sort(ti), np.sort(want_idx + 1))
+
+
+def test_scoring_service_sharded_matches_single(tiny_dataset):
+    """configs4 serving (VERDICT.md r3 #6): a row-sharded service (mesh +
+    a2a lookup exchange) scores identically to the single-device service."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 fake devices")
+    from score_tpu.serve import ScoringService
+    from score_tpu.sharding import make_lookup_fn, make_mesh
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    host_params = jax.device_get(state.params)
+    svc1 = ScoringService(cfg, tiny_dataset, state.params)
+    mesh = make_mesh(jax.devices()[:8])
+    users = np.array([3, 1], np.int32)
+    items = np.array([[1, 2, 3], [4, 5, 6]], np.int32)
+    want = svc1.score_batch(users, items)
+    for lookup in (None, make_lookup_fn(mesh, "a2a")):
+        svc = ScoringService(cfg, tiny_dataset, host_params, mesh=mesh,
+                             lookup_fn=lookup)
+        ut = svc.params["tables"]["user_table"]
+        assert not ut.sharding.is_fully_replicated  # really row-sharded
+        np.testing.assert_allclose(svc.score_batch(users, items), want,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_scoring_service_from_sharded_checkpoint(tiny_dataset, tmp_path):
+    """from_checkpoint(mesh=...) restores a row-sharded orbax checkpoint
+    directly onto the mesh and serves it (no host gather)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 fake devices")
+    from score_tpu.checkpoint import CheckpointManager
+    from score_tpu.serve import ScoringService
+    from score_tpu.sharding import make_mesh, shard_state
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = shard_state(mesh, state)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("best", sharded, (0, 0), 0.7, 10, block=True)
+    svc1 = ScoringService(cfg, tiny_dataset, state.params)
+    svc = ScoringService.from_checkpoint(cfg, tiny_dataset, str(tmp_path),
+                                         mesh=mesh)
+    ut = svc.params["tables"]["user_table"]
+    assert not ut.sharding.is_fully_replicated
+    items = np.array([1, 2, 3, 4], np.int32)
+    np.testing.assert_allclose(svc.score(3, items), svc1.score(3, items),
+                               rtol=1e-5, atol=1e-5)

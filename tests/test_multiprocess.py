@@ -134,6 +134,103 @@ print("OK", flush=True)
 """
 
 
+_CKPT_WORKER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid, port, ckpt_dir, phase = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
+                              sys.argv[4])
+from score_tpu.config import ShardingConfig, configs4
+from score_tpu.sharding import bringup, state_spec
+
+mesh, _ = bringup(
+    ShardingConfig(num_data=1, num_rows=2, lookup_mode="a2a"),
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.tree_util import keystr, tree_map_with_path
+
+from score_tpu.checkpoint import CheckpointManager, apply_restore
+from score_tpu.data import synth
+from score_tpu.data.prep_common import build_dataset
+from score_tpu.graph import device_graph
+from score_tpu.train import build_model, init_state, make_train_step
+
+user, item, ts = synth.synth_events(300, 600, 20000, num_slots=8, seed=0)
+ds = build_dataset(user, item, ts, num_slots=8, user_fanout=6, item_fanout=6,
+                   num_eval_neg=20, min_user=3, min_item=3, seed=0,
+                   dataset_name="tiny")
+cfg = configs4(num_data=1, num_rows=2)
+cfg = cfg.replace(model=cfg.model.__class__(
+    embed_dim=8, hidden_dim=16, mlp_dims=(16,), sides="dual",
+    slot_agg="coattn", seq_pool="attn", target_aware=True))
+graph_local = device_graph(ds.graph)
+
+
+def put_global(tree, spec_fn):
+    def put(path, leaf):
+        spec = spec_fn(keystr(path), leaf)
+        arr = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(mesh, spec), lambda idx, a=arr: a[idx])
+    return tree_map_with_path(put, tree)
+
+
+graph = put_global(graph_local, lambda p, l: P())
+B = 32
+batch = {k: jax.make_array_from_callback(
+             (B,), NamedSharding(mesh, P(("data", "rows"))),
+             lambda idx, a=np.asarray(getattr(ds.train, k)[:B]): a[idx])
+         for k in ("user", "item", "slot")}
+
+model = build_model(cfg, ds.num_users, ds.num_items)
+# the save phase inits from PRNGKey(0); the restore phase from PRNGKey(9),
+# so a successful restore provably REPLACES the fresh params
+key = jax.random.PRNGKey(0 if phase == "save" else 9)
+state = init_state(cfg, model, graph_local, key)
+state = put_global(state, state_spec)
+mgr = CheckpointManager(ckpt_dir)
+
+
+def local_shard_checksum(arr):
+    # sum-of-squares of THIS process's addressable shard only — the restore
+    # phase must reproduce it per process without any cross-host gather
+    return float(sum(np.sum(np.square(np.asarray(s.data)))
+                     for s in arr.addressable_shards))
+
+
+if phase == "save":
+    state2, m = make_train_step(model, cfg)(state, graph, batch,
+                                            jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    mgr.save("latest", state2, (1, 7), 0.5, 1, block=True)
+    ut = state2.params["tables"]["user_table"]
+    print(f"SAVED {local_shard_checksum(ut):.8f}", flush=True)
+else:
+    restored = mgr.restore("latest", state)
+    assert restored is not None
+    assert int(restored["it_epoch"]) == 1 and int(restored["it_pos"]) == 7
+    assert int(restored["step"]) == 1
+    assert abs(float(restored["best_val"]) - 0.5) < 1e-9
+    state3 = apply_restore(state, restored)
+    ut = state3.params["tables"]["user_table"]
+    # restored ONTO the mesh: still row-sharded, not replicated
+    assert not ut.sharding.is_fully_replicated, ut.sharding
+    assert ut.sharding.spec == P("rows", None), ut.sharding.spec
+    print(f"RESTORED {local_shard_checksum(ut):.8f}", flush=True)
+    # training resumes from the restored state across the process boundary
+    state4, m = make_train_step(model, cfg)(state3, graph, batch,
+                                            jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    print(f"RESUMED {float(m['loss']):.6f}", flush=True)
+print("OK", flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -245,3 +342,61 @@ def test_two_process_full_train_step(tiny_dataset):
         assert vals[0] == vals[1], (mode, vals)   # both procs agree exactly
         np.testing.assert_allclose(vals[0], want, rtol=1e-3,
                                    err_msg=f"mode={mode}")
+
+
+def _run_pair(worker: str, extra_args, timeout_s: int = 600):
+    """Launch a 2-process jax.distributed worker pair; returns
+    [(rc, out), ...] or skips on sandbox socket/coordinator issues."""
+    try:
+        port = _free_port()
+    except OSError:
+        pytest.skip("no localhost sockets in this sandbox")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # 1 CPU device per process
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", worker, str(i), str(port)] + list(extra_args),
+        cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout_s)
+            outs.append((p.returncode, out))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed bring-up timed out (relay/port issue)")
+    for rc, out in outs:
+        if rc != 0 and ("UNAVAILABLE" in out or "failed to connect" in out):
+            pytest.skip(f"coordinator unavailable in sandbox: {out[-200:]}")
+        assert rc == 0, out
+        assert "OK" in out, out
+    return outs
+
+
+def test_two_process_checkpoint_roundtrip(tmp_path):
+    """VERDICT.md r3 #7: orbax save/restore of ROW-SHARDED arrays across a
+    real process boundary — save a trained sharded TrainState from 2
+    processes, restart a fresh 2-process world, restore directly onto the
+    mesh (SURVEY.md §5: 'sharded arrays restore ... without gathering'),
+    assert per-process table shards are bit-identical to what was saved,
+    and run one more step (training resumes)."""
+    import re
+
+    ckpt = str(tmp_path / "ckpt")
+    save_outs = _run_pair(_CKPT_WORKER, [ckpt, "save"])
+    restore_outs = _run_pair(_CKPT_WORKER, [ckpt, "restore"])
+
+    saved = {}
+    for pid, (_, out) in enumerate(save_outs):
+        m = re.search(r"SAVED ([-\d.e]+)", out)
+        assert m, out
+        saved[pid] = m.group(1)
+    for pid, (_, out) in enumerate(restore_outs):
+        m = re.search(r"RESTORED ([-\d.e]+)", out)
+        assert m, out
+        # bit-identical local shard per process (same fixed-format print)
+        assert m.group(1) == saved[pid], (pid, m.group(1), saved[pid])
+        assert re.search(r"RESUMED [-\d.e]+", out), out

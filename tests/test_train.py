@@ -118,6 +118,111 @@ def test_train_loop_matches_sequential_steps():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_table_update_stride_semantics():
+    """Stride-K table updates (TrainConfig.table_update_every, VERDICT.md r3
+    #3): tables (params AND adam moments) change exactly on steps with
+    step % K == 0 and are bit-unchanged otherwise; dense params change every
+    step; the update-step table math matches the K=1 step exactly (the
+    cond's full branch IS the reference step)."""
+    import dataclasses
+
+    from score_tpu.config import configs3
+
+    ds = _golden_ds()
+    cfg = configs3()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, table_update_every=2))
+    g = device_graph(ds.graph)
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfg, model, g, rng)
+    step = make_train_step(model, cfg)
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        user=ds.train.user[:64], item=ds.train.item[:64],
+        slot=ds.train.slot[:64]).items()}
+
+    def tables_of(tree):
+        return {jax.tree_util.keystr(p): np.asarray(v).copy()
+                for p, v in jax.tree_util.tree_leaves_with_path(tree)
+                if "table" in jax.tree_util.keystr(p)}
+
+    def dense_of(tree):
+        return {jax.tree_util.keystr(p): np.asarray(v).copy()
+                for p, v in jax.tree_util.tree_leaves_with_path(tree)
+                if "table" not in jax.tree_util.keystr(p)}
+
+    for i in range(4):
+        prev_t = tables_of(state.params)
+        prev_to = tables_of(state.opt_state)
+        prev_d = dense_of(state.params)
+        is_update = int(state.step) % 2 == 0
+        state, m = step(state, g, batch, rng)
+        assert np.isfinite(float(m["loss"]))
+        cur_t = tables_of(state.params)
+        cur_to = tables_of(state.opt_state)
+        changed = any(not np.array_equal(prev_t[k2], cur_t[k2])
+                      for k2 in prev_t)
+        changed_mom = any(not np.array_equal(prev_to[k2], cur_to[k2])
+                          for k2 in prev_to)
+        assert changed == is_update, (i, is_update)
+        assert changed_mom == is_update, (i, is_update)
+        if not is_update:       # bit-unchanged, not merely close
+            for k2 in prev_t:
+                np.testing.assert_array_equal(prev_t[k2], cur_t[k2])
+        cur_d = dense_of(state.params)
+        assert any(not np.array_equal(prev_d[k2], cur_d[k2])
+                   for k2 in prev_d), i
+
+    # the update-step table math IS the reference step: step 0 of a K=2 run
+    # equals step 0 of a K=1 run bit-for-bit
+    cfg1 = cfg.replace(train=dataclasses.replace(
+        cfg.train, table_update_every=1))
+    s2 = init_state(cfg, model, g, rng)
+    s1 = init_state(cfg1, model, g, rng)
+    s2, _ = make_train_step(model, cfg)(s2, g, batch, rng)
+    s1, _ = make_train_step(model, cfg1)(s1, g, batch, rng)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_table_update_stride_loop_matches_steps():
+    """The fused lax.scan loop preserves stride-K semantics (cond inside
+    scan): loop over 4 batches == 4 sequential steps, K=2."""
+    import dataclasses
+
+    from score_tpu.config import configs3
+    from score_tpu.data.pipeline import TargetIterator
+    from score_tpu.train import _stack_batches, make_train_loop
+
+    ds = _golden_ds()
+    cfg = configs3()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, table_update_every=2))
+    g = device_graph(ds.graph)
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    rng = jax.random.PRNGKey(0)
+    state_a = init_state(cfg, model, g, rng)
+    state_b = init_state(cfg, model, g, rng)
+    step = make_train_step(model, cfg)
+    loop = make_train_loop(model, cfg)
+    K, B = 4, 64
+    it = TargetIterator(ds.train, B, seed=3)
+    batches = [next(it) for _ in range(K)]
+    for b in batches:
+        state_a, m_a = step(state_a, g,
+                            {k: jnp.asarray(v) for k, v in b.items()}, rng)
+    it2 = TargetIterator(ds.train, B, seed=3)
+    state_b, m_b = loop(state_b, g, _stack_batches(it2, K), rng)
+    np.testing.assert_allclose(float(m_a["loss"]),
+                               float(m_b["loss"][-1]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_inbatch_negatives_train_step():
     """train_neg_mode='inbatch' learns (loss falls well below BCE chance)
     and its collision weighting keeps the loss finite on duplicate items."""
