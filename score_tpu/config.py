@@ -132,6 +132,11 @@ class TrainConfig:
     # scripts/scatter_bench.py accumulate-vs-direct probe). Quality-gated
     # at 3 seeds before adoption (scripts/table_stride_ablation.py).
     table_update_every: int = 1
+    # Multiplies the optimizer's table-row updates (optax.masked scale after
+    # adam). Intended compensation for stride-K's K-fold fewer table adam
+    # steps: boost=K restores per-epoch table travel distance. 1.0 = off
+    # (no opt-state structure change).
+    table_lr_boost: float = 1.0
 
     def __post_init__(self):
         assert self.optimizer in ("adam", "adamw", "adagrad", "sgd"), \

@@ -66,12 +66,23 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 0):
     else:
         sched = lr
     if tc.optimizer == "adam":
-        return optax.adam(sched)
-    if tc.optimizer == "adamw":
-        return optax.adamw(sched, weight_decay=tc.weight_decay)
-    if tc.optimizer == "adagrad":
-        return optax.adagrad(sched)
-    return optax.sgd(sched)
+        tx = optax.adam(sched)
+    elif tc.optimizer == "adamw":
+        tx = optax.adamw(sched, weight_decay=tc.weight_decay)
+    elif tc.optimizer == "adagrad":
+        tx = optax.adagrad(sched)
+    else:
+        tx = optax.sgd(sched)
+    if tc.table_lr_boost != 1.0:
+        # scale TABLE-row updates only (same path rule as state_spec):
+        # stride-K compensation — K-fold fewer table adam steps, K-fold
+        # bigger steps when taken (TrainConfig.table_lr_boost docstring)
+        def table_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, v: "table" in jax.tree_util.keystr(p), params)
+        tx = optax.chain(
+            tx, optax.masked(optax.scale(tc.table_lr_boost), table_mask))
+    return tx
 
 
 def init_state(cfg: Config, model: ScoreModel, graph: DeviceGraph,

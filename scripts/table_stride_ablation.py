@@ -36,8 +36,13 @@ def main():
     from score_tpu.train import train
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/table_stride.json"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    strides = ([int(x) for x in sys.argv[3].split(",")]
-               if len(sys.argv) > 3 else [2, 4])
+    # arm spec: "2,4" = strides 2 and 4; "2b2" = stride 2 with
+    # table_lr_boost 2 (the K-fold-fewer-steps compensation)
+    raw = sys.argv[3].split(",") if len(sys.argv) > 3 else ["2", "4"]
+    arms = []
+    for a in raw:
+        K, _, b = a.partition("b")
+        arms.append((int(K), float(b) if b else 1.0))
 
     ds = PREP["taobao"]("/tmp/score_tpu_data/ladder_taobao_crossattr",
                         raw_path="/tmp/score_tpu_raw/ladder_taobao_crossattr.csv",
@@ -46,8 +51,8 @@ def main():
           f"train={len(ds.train)}", flush=True)
 
     results = {"pinned_k1": PINNED_K1}
-    for K in strides:
-        arm = f"stride{K}"
+    for K, boost in arms:
+        arm = f"stride{K}" + (f"_boost{boost:g}" if boost != 1.0 else "")
         results[arm] = []
         for seed in SEEDS:
             cfg = PRESETS["configs3"]()
@@ -55,10 +60,11 @@ def main():
                 cfg.train, batch_size=512, learning_rate=1e-3,
                 num_epochs=epochs, eval_every_steps=300,
                 early_stop_patience=6, log_every_steps=10 ** 9, seed=seed,
-                table_update_every=K))
+                table_update_every=K, table_lr_boost=boost))
             t0 = time.time()
             out = train(cfg, ds, verbose=False)
-            rec = dict(seed=seed, K=K, best_val_auc=out["best_val_auc"],
+            rec = dict(seed=seed, K=K, boost=boost,
+                       best_val_auc=out["best_val_auc"],
                        test_auc=out["test"]["auc"],
                        ndcg10=out["test"]["ndcg@10"],
                        wall_s=round(time.time() - t0, 1))

@@ -187,6 +187,42 @@ def test_table_update_stride_semantics():
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_table_lr_boost_scales_table_updates_only():
+    """TrainConfig.table_lr_boost=b: the table-param update is exactly b x
+    the unboosted update; dense params are untouched by the mask."""
+    import dataclasses
+
+    from score_tpu.config import configs3
+
+    ds = _golden_ds()
+    cfg1 = configs3()
+    cfg2 = cfg1.replace(train=dataclasses.replace(
+        cfg1.train, table_lr_boost=2.0))
+    g = device_graph(ds.graph)
+    model = build_model(cfg1, ds.num_users, ds.num_items)
+    rng = jax.random.PRNGKey(0)
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        user=ds.train.user[:64], item=ds.train.item[:64],
+        slot=ds.train.slot[:64]).items()}
+    outs = {}
+    for name, cfg in (("base", cfg1), ("boost", cfg2)):
+        state = init_state(cfg, model, g, rng)
+        params0 = jax.device_get(state.params)
+        state, _ = make_train_step(model, cfg)(state, g, batch, rng)
+        outs[name] = (params0, jax.device_get(state.params))
+    for (p, v0), (_, v1), (_, w0), (_, w1) in zip(
+            jax.tree_util.tree_leaves_with_path(outs["base"][0]),
+            jax.tree_util.tree_leaves_with_path(outs["base"][1]),
+            jax.tree_util.tree_leaves_with_path(outs["boost"][0]),
+            jax.tree_util.tree_leaves_with_path(outs["boost"][1])):
+        du = v1 - v0                     # unboosted update
+        db = w1 - w0                     # boosted update
+        if "table" in jax.tree_util.keystr(p):
+            np.testing.assert_allclose(db, 2.0 * du, rtol=1e-5, atol=1e-7)
+        else:
+            np.testing.assert_allclose(db, du, rtol=1e-6, atol=1e-8)
+
+
 def test_table_update_stride_loop_matches_steps():
     """The fused lax.scan loop preserves stride-K semantics (cond inside
     scan): loop over 4 batches == 4 sequential steps, K=2."""
