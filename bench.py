@@ -35,6 +35,11 @@ NEG_MODE = "inbatch_iw"  # importance-weighted in-batch negatives: zero
                          # vs 'uniform' by scripts/negmode_quality.py — val
                          # AUC 0.7790 vs 0.7557 (BETTER, not just parity;
                          # BASELINE.md round-2 row)
+TABLE_STRIDE = 2         # stride-K table updates + K-fold table-lr boost:
+TABLE_LR_BOOST = 2.0     # the scatter-add 42% of the step runs on half the
+                         # steps; 3-seed gate val AUC 0.7815 vs 0.7728 K=1
+                         # (BETTER on every seed — BASELINE.md r4 row;
+                         # stride4 fails its gate even boosted, not used)
 STEPS_PER_CALL = 50     # K steps fused into one dispatch (lax.scan)
 TRAIN_CALLS = 8
 LATENCY_ITERS = 200
@@ -68,7 +73,9 @@ def main() -> None:
         sides="dual", slot_agg="coattn", seq_pool="attn", target_aware=True,
         compute_dtype=COMPUTE_DTYPE),
         data=cfg.data.__class__(train_neg_mode=NEG_MODE),
-        train=cfg.train.__class__(batch_size=BATCH))
+        train=cfg.train.__class__(batch_size=BATCH,
+                                  table_update_every=TABLE_STRIDE,
+                                  table_lr_boost=TABLE_LR_BOOST))
     graph = device_graph(ds.graph)
     model = build_model(cfg, ds.num_users, ds.num_items)
     rng = jax.random.PRNGKey(0)
@@ -166,6 +173,8 @@ def main() -> None:
             "chips": n_chips,
             "model": "configs3-coattn",
             "compute_dtype": COMPUTE_DTYPE,
+            "table_stride": TABLE_STRIDE,
+            "table_lr_boost": TABLE_LR_BOOST,
             "backend": jax.default_backend(),
             "prep_s": round(prep_s, 1),
             # per-phase attribution so a host-contended prep (the r3 73.2s
