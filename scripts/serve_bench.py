@@ -139,7 +139,7 @@ def catalog_main():
     # synthetic catalog wide — serving capacity depends on SIZES, not
     # content. eval negatives are irrelevant here (num_eval_neg=1).
     user, item, ts = synth.synth_events(
-        1_000_000, 3_200_000, 12_000_000, num_slots=NUM_SLOTS, seed=0)
+        1_000_000, 3_700_000, 14_000_000, num_slots=NUM_SLOTS, seed=0)
     ds = build_dataset(user, item, ts, num_slots=NUM_SLOTS,
                        user_fanout=FANOUT, item_fanout=FANOUT,
                        num_eval_neg=1, min_user=1, min_item=1, seed=0,
