@@ -60,10 +60,11 @@ class ScoringService:
 
     def __init__(self, cfg: Config, ds: Dataset, params,
                  slot: Optional[int] = None, mesh=None, lookup_fn=None,
-                 candidate_chunk: int = 4096):
+                 candidate_chunk: int = 4096, topk_grid_rows: int = 16):
         self.cfg = cfg
         self.mesh = mesh
         self.candidate_chunk = int(candidate_chunk)
+        self.topk_grid_rows = int(topk_grid_rows)
         self.graph: DeviceGraph = device_graph(ds.graph)
         self.num_items = ds.num_items
         self.model = build_model(cfg, ds.num_users, ds.num_items,
@@ -183,15 +184,33 @@ class ScoringService:
              ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k items for a user over `candidates` (default: full catalog).
 
-        Full-catalog requests stream through score_batch's fixed-size chunk
-        pipeline — per-dispatch HBM stays [1, chunk, T, m, d]-sized no
-        matter the catalog (2.68M items at the pinned 1e8-prep scale needs
-        ~0.04% of the single-dispatch footprint)."""
+        Catalog-wide requests are laid out as a GRID of same-user rows —
+        [topk_grid_rows, candidate_chunk] per dispatch — so the batch axis
+        fills the chip the way the serving envelope's R×C dispatches do
+        (BASELINE.md r4: a 1-row chunk stream measured 9.8 µs/candidate vs
+        2.9 µs with a filled batch axis). Per-dispatch HBM stays
+        [R, chunk, T, m, d]-sized no matter the catalog (a single dispatch
+        at the 2.68M-item pinned scale would need ~15 GB); grid-row pads
+        are item 0 and are sliced off after the one readback."""
         if candidates is None:
             candidates = np.arange(1, self.num_items + 1, dtype=np.int32)
         else:
             candidates = np.asarray(candidates, np.int32)
-        scores = self.score(user_id, candidates)
+        n = candidates.size
+        chunk = self.candidate_chunk
+        if n <= chunk:
+            scores = self.score(user_id, candidates)
+        else:
+            pad = (-n) % chunk
+            grid = np.concatenate(
+                [candidates, np.zeros(pad, np.int32)]).reshape(-1, chunk)
+            rows = self.topk_grid_rows
+            outs = []
+            for lo in range(0, grid.shape[0], rows):
+                blk = grid[lo:lo + rows]
+                outs.append(self.score_batch(
+                    np.full(blk.shape[0], user_id, np.int32), blk))
+            scores = np.concatenate([o.reshape(-1) for o in outs])[:n]
         k = min(k, scores.size)
         part = np.argpartition(-scores, k - 1)[:k]
         order = part[np.argsort(-scores[part])]

@@ -156,11 +156,15 @@ def catalog_main():
     model = build_model(cfg, ds.num_users, ds.num_items)
     graph = device_graph(ds.graph)
     state = init_state(cfg, model, graph, jax.random.PRNGKey(0))
-    svc = ScoringService(cfg, ds, state.params, candidate_chunk=8192)
+    kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    svc = ScoringService(cfg, ds, state.params,
+                         candidate_chunk=int(kv.get("chunk", 8192)),
+                         topk_grid_rows=int(kv.get("rows", 16)))
 
     results = dict(catalog_items=int(ds.num_items),
                    catalog_users=int(ds.num_users),
                    candidate_chunk=svc.candidate_chunk,
+                   topk_grid_rows=svc.topk_grid_rows,
                    prep_s=round(prep_s, 1))
     t0 = time.time()
     items1, scores1 = svc.topk(7, k=10)       # compile warmup included
