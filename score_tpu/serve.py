@@ -69,6 +69,7 @@ class ScoringService:
         self.num_items = ds.num_items
         self.model = build_model(cfg, ds.num_users, ds.num_items,
                                  lookup_fn=lookup_fn)
+        params = self._prepare_params(params)
         if mesh is not None:
             from .sharding import shard_graph, shard_tree
             self.graph = shard_graph(mesh, self.graph)
@@ -85,6 +86,32 @@ class ScoringService:
                                     method=self.model.score_candidates)
 
         self._score_cand = _score_cand
+
+    def _prepare_params(self, params):
+        """Serving-side weight prep: when the model computes in bfloat16,
+        cast 2-D embedding-table leaves to bf16 once at init.
+
+        Same values by construction: the model already does
+        `gather(f32_table).astype(bf16)`, and elementwise rounding commutes
+        with row selection, so `gather(bf16_table)` feeds the model the
+        identical bf16 rows (BIT-equal at the embedding stage; full-score
+        equality is up to XLA's per-compilation bf16 fusion order —
+        tested to bf16 resolution). The win is the gather itself: with the
+        f32->bf16 convert
+        fused into the serving gather, XLA picked a column-major {0,1}
+        table layout that made the row gather 82% of catalog-dispatch
+        device time (BASELINE.md r4 serving profile); a pre-cast bf16
+        table gathers contiguous rows at half the bytes."""
+        if params is None or (jnp.dtype(self.cfg.model.compute_dtype)
+                              != jnp.dtype(jnp.bfloat16)):
+            return params
+
+        def cast(path, v):
+            if ("table" in jax.tree_util.keystr(path)
+                    and getattr(v, "ndim", 0) == 2):
+                return jnp.asarray(v).astype(jnp.bfloat16)
+            return v
+        return jax.tree_util.tree_map_with_path(cast, params)
 
     @classmethod
     def from_checkpoint(cls, cfg: Config, ds: Dataset, ckpt_dir: str,
@@ -118,7 +145,7 @@ class ScoringService:
         if mesh is not None:
             from .sharding import shard_graph
             svc.graph = shard_graph(mesh, svc.graph)
-        svc.params = restored["params"]
+        svc.params = svc._prepare_params(restored["params"])
         return svc
 
     def score(self, user_id: int, item_ids: Sequence[int]) -> np.ndarray:

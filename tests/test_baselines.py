@@ -271,6 +271,46 @@ def test_scoring_service_chunked_matches_unchunked(tiny_dataset):
     np.testing.assert_array_equal(np.sort(ti), np.sort(want_idx + 1))
 
 
+def test_scoring_service_bf16_table_prep_matches(tiny_dataset):
+    """Serving-side bf16 table pre-cast (the r4 catalog-gather fix):
+    cast-then-gather commutes with the model's gather-then-astype — BIT
+    equal at the embedding stage (same graph); full scores agree to bf16
+    resolution (different compiled graphs may fuse bf16 reductions in a
+    different order, so whole-model bit-equality is not guaranteed)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from score_tpu.serve import ScoringService
+    cfg = configs3()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16"))
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    svc = ScoringService(cfg, tiny_dataset, state.params)
+    # the service really holds bf16 tables...
+    ut16 = svc.params["tables"]["user_table"]
+    assert ut16.dtype == jnp.bfloat16
+    # ...the embedding stage commutes BIT-exactly...
+    ut32 = state.params["tables"]["user_table"]
+    ids = jnp.asarray([0, 1, 3, 7], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.take(ut32, ids, 0).astype(jnp.bfloat16)),
+        np.asarray(jnp.take(ut16, ids, 0)))
+    # ...and full scores equal a direct apply with the ORIGINAL f32 params
+    # to bf16 resolution
+    items = np.array([1, 2, 3, 9], np.int32)
+    got = svc.score(3, items)
+    from score_tpu.graph import gather_candidate_batch
+    mb = gather_candidate_batch(g, jnp.asarray([3], jnp.int32),
+                                jnp.asarray(items)[None, :],
+                                jnp.full((1,), svc.slot, jnp.int32))
+    want = np.asarray(model.apply({"params": state.params}, mb,
+                                  method=model.score_candidates))[0]
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
 def test_scoring_service_sharded_matches_single(tiny_dataset):
     """configs4 serving (VERDICT.md r3 #6): a row-sharded service (mesh +
     a2a lookup exchange) scores identically to the single-device service."""
