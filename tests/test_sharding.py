@@ -377,6 +377,45 @@ def test_overflow_action_policy(tiny_dataset, action, capsys):
         assert "capacity overflow" in capsys.readouterr().out
 
 
+def test_sharded_stride_train_step(mesh, tiny_dataset):
+    """The adopted stride2+boost2 step (lax.cond around the update) runs
+    under shardings on the mesh: table shards bit-unchanged on the skip
+    step, updated on the update step, loss finite both steps."""
+    import dataclasses
+
+    from score_tpu.config import configs3
+    from score_tpu.graph import device_graph
+    from score_tpu.train import build_model, init_state, make_train_step
+
+    cfg = configs3()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, table_update_every=2, table_lr_boost=2.0))
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    state = shard_state(mesh, state)
+    g = shard_graph(mesh, g)
+    step = make_train_step(model, cfg)
+    bs = batch_sharding(mesh)
+    B = 16
+    batch = {
+        "user": jax.device_put(jnp.asarray(tiny_dataset.train.user[:B]), bs),
+        "item": jax.device_put(jnp.asarray(tiny_dataset.train.item[:B]), bs),
+        "slot": jax.device_put(jnp.asarray(tiny_dataset.train.slot[:B]), bs),
+    }
+    t0 = np.asarray(state.params["tables"]["user_table"])
+    state, m = step(state, g, batch, jax.random.PRNGKey(0))  # step 0: update
+    assert np.isfinite(float(m["loss"]))
+    t1 = np.asarray(state.params["tables"]["user_table"])
+    assert not np.array_equal(t0, t1)
+    assert not state.params["tables"]["user_table"] \
+        .sharding.is_fully_replicated
+    state, m = step(state, g, batch, jax.random.PRNGKey(0))  # step 1: skip
+    assert np.isfinite(float(m["loss"]))
+    t2 = np.asarray(state.params["tables"]["user_table"])
+    np.testing.assert_array_equal(t1, t2)    # bit-unchanged on skip
+
+
 def test_sharded_train_step_runs(mesh, tiny_dataset):
     """Full donated train step under shardings executes and stays finite."""
     from score_tpu.config import configs3
