@@ -147,13 +147,19 @@ def item_importance_weights(train_split, num_items: int) -> np.ndarray:
 
 def _make_train_step_fn(model: ScoreModel, cfg: Config,
                         with_auc: bool = True,
-                        neg_iw: Optional[jnp.ndarray] = None) -> Callable:
+                        neg_iw: Optional[jnp.ndarray] = None,
+                        force_branch: Optional[str] = None) -> Callable:
     """Unjitted single-step body (shared by make_train_step / make_train_loop).
 
     with_auc=False returns the step's logits instead of the batch AUC: the
     rank-sum AUC sorts the scores, and profiling showed the per-step sort at
     ~7% of the fused-loop step — the loop computes AUC once per chunk from
     the final step's logits instead (only the last step's metrics are read).
+
+    force_branch ('full' | 'dense'): build the stride-K step WITHOUT the
+    runtime lax.cond, fixing the branch statically — for fused loops that
+    know each position's parity (static stride alternation probe) and for
+    branch-level tests. Only meaningful when table_update_every > 1.
     """
     k = cfg.data.num_train_neg
     neg_mode = cfg.data.train_neg_mode
@@ -247,8 +253,14 @@ def _make_train_step_fn(model: ScoreModel, cfg: Config,
             grads, aux = jax.grad(fn, has_aux=True)(s.params)
             return s.apply_gradients(grads=grads), aux
 
-        if stride <= 1:
+        if stride <= 1 or force_branch == "full":
             new_state, (loss, logits, diag) = _grad_apply(state, False)
+        elif force_branch == "dense":
+            new_state, (loss, logits, diag) = _grad_apply(state, True)
+            new_state = new_state.replace(
+                params=_keep_table_leaves(state.params, new_state.params),
+                opt_state=_keep_table_leaves(state.opt_state,
+                                             new_state.opt_state))
         else:
             # Stride-K table updates (TrainConfig.table_update_every): the
             # runtime executes exactly ONE branch per step (lax.cond), so
@@ -300,31 +312,107 @@ def make_train_loop(model: ScoreModel, cfg: Config,
     (~1.7 ms/call through the device tunnel vs ~sub-ms device step), so the
     driver stages K batches as one [K, B] device array and runs the whole
     chunk inside one jitted call — the TPU-idiomatic train-loop-in-jit.
-    Returns (state, stacked-metrics)."""
-    step_fn = _make_train_step_fn(model, cfg, with_auc=False, neg_iw=neg_iw)
+    Returns (state, stacked-metrics).
+
+    Stride-K chunks (table_update_every > 1) are built with STATIC branch
+    alternation instead of the per-step lax.cond: the caller passes
+    `phase = entry_step % K` (static; at most K compiled variants), a
+    python-unrolled lead-in aligns to the next update step, then a scan
+    over K-sized groups runs [1 full + (K-1) dense] statically-built step
+    graphs, then an unrolled tail. Measured +14.7% over the cond form on
+    identical math (BASELINE.md r4 static-alternation row)."""
     k = cfg.data.num_train_neg
+    stride = cfg.train.table_update_every
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_loop(state: TrainState, graph: DeviceGraph,
-                   batches: Dict[str, jnp.ndarray], rng: jax.Array):
-        def body(state, batch):
-            state, m = step_fn(state, graph, batch, rng)
-            return state, m
-
-        state, ms = jax.lax.scan(body, state, batches)
-        # AUC once per chunk, on the final step's logits (the driver reads
-        # only the last step's metrics; the rank-sum sort is ~7%/step fused)
-        logits = ms.pop("logits")[-1]                       # [B, 1+k]
-        w = ms.pop("weights")[-1]
+    def _finish_metrics(m):
+        """Chunk metrics from the FINAL step's raw metrics (the driver
+        reads only the last step; AUC once per chunk — its rank-sum sort
+        was ~7%/step fused)."""
+        logits = m["logits"]
+        w = m["weights"]
         B = logits.shape[0]
         labels = jnp.concatenate(
             [jnp.ones((B, 1), jnp.float32),
              jnp.zeros((B, k), jnp.float32)], axis=1)
-        ms["batch_auc"] = auc_fn(logits.reshape(-1), labels.reshape(-1),
-                                 w.reshape(-1))[None]       # [1]; [-1] works
+        return auc_fn(logits.reshape(-1), labels.reshape(-1), w.reshape(-1))
+
+    if stride <= 1:
+        step_fn = _make_train_step_fn(model, cfg, with_auc=False,
+                                      neg_iw=neg_iw)
+
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+        def train_loop(state: TrainState, graph: DeviceGraph,
+                       batches: Dict[str, jnp.ndarray], rng: jax.Array,
+                       phase: int = 0):
+            # phase is accepted (and ignored) so callers can pass
+            # entry_step % stride uniformly for both loop flavors
+            def body(state, batch):
+                state, m = step_fn(state, graph, batch, rng)
+                return state, m
+
+            state, ms = jax.lax.scan(body, state, batches)
+            ms["batch_auc"] = _finish_metrics(
+                {k2: ms[k2][-1] for k2 in ("logits", "weights")})[None]
+            ms.pop("logits")
+            ms.pop("weights")
+            return state, ms
+
+        return train_loop
+
+    step_full = _make_train_step_fn(model, cfg, with_auc=False,
+                                    neg_iw=neg_iw, force_branch="full")
+    step_dense = _make_train_step_fn(model, cfg, with_auc=False,
+                                     neg_iw=neg_iw, force_branch="dense")
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+    def train_loop_stride(state: TrainState, graph: DeviceGraph,
+                          batches: Dict[str, jnp.ndarray], rng: jax.Array,
+                          phase: int = 0):
+        K = next(iter(batches.values())).shape[0]
+        at = lambda j: {k2: v[j] for k2, v in batches.items()}
+        pick = lambda pos: (step_full if (phase + pos) % stride == 0
+                            else step_dense)
+        m = None
+        ovf_total = jnp.zeros((), jnp.int32)   # whole-chunk overflow sum
+        pos = 0
+        lead = min((-phase) % stride, K)
+        for j in range(lead):                  # unrolled lead-in (< stride)
+            state, m = pick(pos)(state, graph, at(pos), rng)
+            ovf_total = ovf_total + m["a2a_overflow"]
+            pos += 1
+        groups = (K - pos) // stride
+        if groups > 0:
+            sl = {k2: v[pos:pos + groups * stride].reshape(
+                (groups, stride) + v.shape[1:])
+                for k2, v in batches.items()}
+
+            def body(st, group):
+                st, gm = step_full(st, graph,
+                                   {k2: v[0] for k2, v in group.items()},
+                                   rng)
+                ovf = gm["a2a_overflow"]
+                for t in range(1, stride):     # unrolled within the group
+                    st, gm = step_dense(
+                        st, graph, {k2: v[t] for k2, v in group.items()},
+                        rng)
+                    ovf = ovf + gm["a2a_overflow"]
+                gm = dict(gm, a2a_overflow=ovf)
+                return st, gm
+
+            state, gms = jax.lax.scan(body, state, sl)
+            m = {k2: v[-1] for k2, v in gms.items()}
+            ovf_total = ovf_total + gms["a2a_overflow"].sum()
+            pos += groups * stride
+        for j in range(K - pos):               # unrolled tail (< stride)
+            state, m = pick(pos)(state, graph, at(pos), rng)
+            ovf_total = ovf_total + m["a2a_overflow"]
+            pos += 1
+        ms = {"loss": m["loss"][None],
+              "a2a_overflow": ovf_total[None],
+              "batch_auc": _finish_metrics(m)[None]}
         return state, ms
 
-    return train_loop
+    return train_loop_stride
 
 
 def _stack_batches(it, k: int, put=jnp.asarray):
@@ -487,7 +575,9 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
         chunk = min(_next_boundary(step) - step, 50)
         if chunk > 1 and not cfg.train.profile_dir:
             stacked = _stack_batches(it, chunk, put=put_stacked)
-            state, ms = train_loop(state, graph, stacked, rng)
+            state, ms = train_loop(
+                state, graph, stacked, rng,
+                step % max(cfg.train.table_update_every, 1))
             m = {k: v[-1] for k, v in ms.items()}
             if "a2a_overflow" in ms:
                 m["a2a_overflow"] = ms["a2a_overflow"].sum()  # whole chunk

@@ -34,7 +34,7 @@ TRAIN_CALLS = 6
 def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
                 pallas_coattn=False, num_train_neg=1, neg_mode="uniform",
                 dotfree=False, gru_unroll=1, embed_dim=EMBED_DIM,
-                push_rolls=False, table_stride=1):
+                push_rolls=False, table_stride=1, static_pair=False):
     # push_rolls default matches the SHIPPED nn.coattn default (False =
     # materialized rolls; the pushdown lost the r3 A/B). The r3 sweep ran
     # with True as this function's default, so r3 rows named
@@ -71,7 +71,35 @@ def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
 
         from score_tpu.train import item_importance_weights
         neg_iw = jnp.asarray(item_importance_weights(ds.train, ds.num_items))
-    train_loop = make_train_loop(model, cfg, neg_iw=neg_iw)
+    if static_pair:
+        # Static stride-2 alternation probe (r4 stride profile follow-up):
+        # the fused loop scans PAIRS of batches through statically-built
+        # full/dense step graphs instead of a runtime lax.cond — measures
+        # whether the cond's branch plumbing costs anything. Valid because
+        # the loop enters at step 0 (even parity).
+        import functools
+
+        from score_tpu.train import _make_train_step_fn
+        assert table_stride == 2, table_stride
+        step_full = _make_train_step_fn(model, cfg, with_auc=False,
+                                        neg_iw=neg_iw, force_branch="full")
+        step_dense = _make_train_step_fn(model, cfg, with_auc=False,
+                                         neg_iw=neg_iw, force_branch="dense")
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_loop(state, graph_, batches, rng):
+            def body(st, pair):
+                b0 = {k2: v[0] for k2, v in pair.items()}
+                b1 = {k2: v[1] for k2, v in pair.items()}
+                st, _ = step_full(st, graph_, b0, rng)
+                st, m = step_dense(st, graph_, b1, rng)
+                return st, {"loss": m["loss"]}
+            k2n = next(iter(batches.values())).shape[0] // 2
+            pairs = {k2: v.reshape((k2n, 2) + v.shape[1:])
+                     for k2, v in batches.items()}
+            return jax.lax.scan(body, state, pairs)
+    else:
+        train_loop = make_train_loop(model, cfg, neg_iw=neg_iw)
     it = TargetIterator(ds.train, batch, seed=0)
 
     K = STEPS_PER_CALL
@@ -146,6 +174,9 @@ VARIANTS = {
                                   neg_mode="inbatch_iw", table_stride=2),
     "b4096_bf16_iw_stride4": dict(batch=4096, compute_dtype="bfloat16",
                                   neg_mode="inbatch_iw", table_stride=4),
+    "b4096_bf16_iw_stride2_static": dict(
+        batch=4096, compute_dtype="bfloat16", neg_mode="inbatch_iw",
+        table_stride=2, static_pair=True),
 }
 
 

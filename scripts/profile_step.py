@@ -7,6 +7,7 @@ work (the round-1 finding "embedding gathers + scatter-add grads ~70% of
 step" came from this view).
 
 Usage: python scripts/profile_step.py [batch] [dtype] [trace_dir] [neg_mode]
+           [stride]
 
 neg_mode defaults to 'inbatch_iw' — the shipped bench configuration
 (VERDICT.md r2 #5: the profile must cover the step that bench.py times).
@@ -37,6 +38,7 @@ def main():
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
     trace_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/xprof_step"
     neg_mode = sys.argv[4] if len(sys.argv) > 4 else "inbatch_iw"
+    stride = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     import jax
     import jax.numpy as jnp
@@ -64,7 +66,9 @@ def main():
             sides="dual", slot_agg="coattn", seq_pool="attn",
             target_aware=True, compute_dtype=dtype),
         data=cfg.data.__class__(train_neg_mode=neg_mode),
-        train=cfg.train.__class__(batch_size=batch))
+        train=cfg.train.__class__(batch_size=batch,
+                                  table_update_every=stride,
+                                  table_lr_boost=float(stride)))
     model = build_model(cfg, ds.num_users, ds.num_items)
     rng = jax.random.PRNGKey(0)
     state = init_state(cfg, model, graph, rng)
@@ -81,6 +85,7 @@ def main():
         float(ms["loss"][-1])                   # honest readback inside trace
     wall = time.time() - t0
     print(json.dumps(dict(batch=batch, dtype=dtype, neg_mode=neg_mode,
+                          stride=stride,
                           steps=K, wall_s=round(wall, 2),
                           examples_per_s=round(K * batch / wall))), flush=True)
 

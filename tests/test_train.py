@@ -259,6 +259,51 @@ def test_table_update_stride_loop_matches_steps():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_table_update_stride_loop_phase_alignment():
+    """The static-alternation stride loop with phase = entry_step % K
+    (lead-in + groups + tail, odd chunk length) == sequential jitted steps
+    from the same mid-stride state."""
+    import dataclasses
+
+    from score_tpu.config import configs3
+    from score_tpu.data.pipeline import TargetIterator
+    from score_tpu.train import _stack_batches, make_train_loop
+
+    ds = _golden_ds()
+    cfg = configs3()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, table_update_every=2))
+    g = device_graph(ds.graph)
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    rng = jax.random.PRNGKey(0)
+    step = make_train_step(model, cfg)
+    loop = make_train_loop(model, cfg)
+    B = 64
+    it = TargetIterator(ds.train, B, seed=3)
+    batches = [next(it) for _ in range(6)]
+    # sequential reference: 1 step, then 5 more
+    state_a = init_state(cfg, model, g, rng)
+    for b in batches:
+        state_a, m_a = step(state_a, g,
+                            {k: jnp.asarray(v) for k, v in b.items()}, rng)
+    # loop path: 1 sequential step (entering step becomes 1), then a
+    # 5-batch chunk with phase=1 (lead-in 1 dense + 2 groups + 0 tail)
+    state_b = init_state(cfg, model, g, rng)
+    state_b, _ = step(state_b, g,
+                      {k: jnp.asarray(v) for k, v in batches[0].items()},
+                      rng)
+    it2 = TargetIterator(ds.train, B, seed=3)
+    next(it2)                                   # consume batch 0
+    stacked = _stack_batches(it2, 5)
+    state_b, m_b = loop(state_b, g, stacked, rng, 1)
+    np.testing.assert_allclose(float(m_a["loss"]),
+                               float(m_b["loss"][-1]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_inbatch_negatives_train_step():
     """train_neg_mode='inbatch' learns (loss falls well below BCE chance)
     and its collision weighting keeps the loss finite on duplicate items."""
