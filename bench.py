@@ -67,13 +67,20 @@ def main() -> None:
                        dataset_name="bench-taobao")
     prep_s = time.time() - t0
 
+    # dataclasses.replace, NOT __class__(...): a bare-constructor rebuild
+    # silently resets every unlisted field to its dataclass default, so a
+    # future default change would change what the driver measures
+    # (VERDICT.md r4 weak #1; same bug class fixed in serve_bench c0fec79)
+    import dataclasses
     cfg = configs3()
-    cfg = cfg.replace(model=cfg.model.__class__(
-        embed_dim=EMBED_DIM, hidden_dim=64, mlp_dims=(128, 64),
-        sides="dual", slot_agg="coattn", seq_pool="attn", target_aware=True,
-        compute_dtype=COMPUTE_DTYPE),
-        data=cfg.data.__class__(train_neg_mode=NEG_MODE),
-        train=cfg.train.__class__(batch_size=BATCH,
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, embed_dim=EMBED_DIM, hidden_dim=64,
+            mlp_dims=(128, 64), sides="dual", slot_agg="coattn",
+            seq_pool="attn", target_aware=True,
+            compute_dtype=COMPUTE_DTYPE),
+        data=dataclasses.replace(cfg.data, train_neg_mode=NEG_MODE),
+        train=dataclasses.replace(cfg.train, batch_size=BATCH,
                                   table_update_every=TABLE_STRIDE,
                                   table_lr_boost=TABLE_LR_BOOST))
     graph = device_graph(ds.graph)

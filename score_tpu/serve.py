@@ -69,12 +69,16 @@ class ScoringService:
         self.num_items = ds.num_items
         self.model = build_model(cfg, ds.num_users, ds.num_items,
                                  lookup_fn=lookup_fn)
-        params = self._prepare_params(params)
+        # Shard FIRST, then bf16-cast: _prepare_params materializes each
+        # table it casts, so casting pre-shard would stage full tables on
+        # the default device — exactly the OOM sharded serving exists to
+        # avoid. astype on a NamedSharding array preserves its placement
+        # (ADVICE.md r4 #1).
         if mesh is not None:
             from .sharding import shard_graph, shard_tree
             self.graph = shard_graph(mesh, self.graph)
             params = shard_tree(mesh, params)
-        self.params = params
+        self.params = self._prepare_params(params)
         # default scoring slot: "now" = one past the last slot, so the full
         # history is visible (no leakage concern at serving time)
         self.slot = ds.graph.num_slots if slot is None else slot
@@ -116,7 +120,7 @@ class ScoringService:
     @classmethod
     def from_checkpoint(cls, cfg: Config, ds: Dataset, ckpt_dir: str,
                         which: str = "best", mesh=None,
-                        lookup_fn=None) -> "ScoringService":
+                        lookup_fn=None, **service_kw) -> "ScoringService":
         """Restore a checkpoint and serve it. With `mesh`, the restore
         template is sharded FIRST, so orbax materializes row-sharded tables
         directly onto the mesh — a checkpoint bigger than one chip's HBM
@@ -139,8 +143,12 @@ class ScoringService:
         if restored is None:
             raise FileNotFoundError(f"no '{which}' checkpoint in {ckpt_dir}")
         # params already carry their (possibly sharded) placement from the
-        # restore template; skip the __init__ re-shard of raw host arrays
-        svc = cls(cfg, ds, None, mesh=None, lookup_fn=lookup_fn)
+        # restore template; skip the __init__ re-shard of raw host arrays.
+        # service_kw forwards the serving knobs (slot, candidate_chunk,
+        # topk_grid_rows) so a restored service can tune the catalog path
+        # without poking attributes (ADVICE.md r4 #4; VERDICT.md r4 weak #6)
+        svc = cls(cfg, ds, None, mesh=None, lookup_fn=lookup_fn,
+                  **service_kw)
         svc.mesh = mesh
         if mesh is not None:
             from .sharding import shard_graph
@@ -224,6 +232,9 @@ class ScoringService:
         else:
             candidates = np.asarray(candidates, np.int32)
         n = candidates.size
+        if n == 0 or k <= 0:
+            # argpartition(kth=-1) raises on empty input (ADVICE.md r4 #2)
+            return (np.empty(0, np.int32), np.empty(0, np.float32))
         chunk = self.candidate_chunk
         if n <= chunk:
             scores = self.score(user_id, candidates)

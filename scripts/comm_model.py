@@ -192,11 +192,13 @@ def main():
 
     # Per-op linear fit bytes(B) = a + b*B from the two compiled points,
     # extrapolated to the pinned bench batch. This captures EVERYTHING the
-    # compiled program moves — including the GSPMD all-gathers that the
-    # node-sharded graph-store gather induces, which measure LARGER than the
-    # deduped a2a exchange itself (a real finding of this model: the lookup
-    # exchange is not the dominant collective; the history-gather
-    # partitioning is).
+    # compiled program moves, not just the deduped a2a exchange. Historical
+    # note: the pre-id-roll program's dominant collective was full-tensor
+    # all-gathers of the rolled EMBEDDED item side (143 MB/device/step at
+    # B=4096); rolling the int32 IDS before the exchange (model.py id-roll
+    # path, VERDICT.md r3→r4) collapsed all-gather to ~1.7 MB and left the
+    # a2a lookups (C_eff=2) as the dominant term — 149.4 MB/device/step
+    # total (COMM_MODEL_r4.json).
     B0, B1 = (r["shapes"]["B"] for r in rows)
     bench_by_kind = {}
     for kind in _COLLECTIVES:

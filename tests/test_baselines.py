@@ -200,6 +200,26 @@ def test_scoring_service_from_checkpoint(tiny_dataset, tmp_path):
     mgr.save("best", state, (0, 0), 0.7, 10)
     svc = ScoringService.from_checkpoint(cfg, tiny_dataset, str(tmp_path))
     assert svc.score(1, [1, 2]).shape == (2,)
+    # serving knobs forward through from_checkpoint (ADVICE.md r4 #4)
+    svc2 = ScoringService.from_checkpoint(cfg, tiny_dataset, str(tmp_path),
+                                          candidate_chunk=16,
+                                          topk_grid_rows=4, slot=2)
+    assert (svc2.candidate_chunk, svc2.topk_grid_rows, svc2.slot) == (16, 4, 2)
+
+
+def test_topk_empty_and_zero_k(tiny_dataset):
+    """topk on an empty candidate list / k=0 returns empty arrays instead of
+    raising from argpartition (ADVICE.md r4 #2)."""
+    from score_tpu.serve import ScoringService
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    svc = ScoringService(cfg, tiny_dataset, state.params)
+    for items, scores in (svc.topk(3, k=5, candidates=[]),
+                          svc.topk(3, k=0, candidates=[1, 2, 3])):
+        assert items.shape == (0,) and scores.shape == (0,)
+
 
 def test_scoring_service_batch_matches_single(tiny_dataset):
     """score_batch (one-dispatch candidates form) ≡ per-request score()."""
