@@ -28,7 +28,6 @@ from .data.schema import Dataset
 from .graph import (DeviceGraph, device_graph, gather_batch,
                     gather_candidate_batch)
 from .metrics import auc as auc_fn
-from .metrics import ranking_metrics
 from .nn.model import ScoreModel
 from .nn.scorer import bce_loss
 
@@ -441,22 +440,53 @@ def make_eval_step(model: ScoreModel) -> Callable:
     return eval_step
 
 
+@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2,))
+def _eval_accum(scores, w, carry, bidx, ks):
+    """Fold one block of eval scores into the streaming carry.
+
+    carry = {hist_pos, hist_neg: int32[F16_BINS]; msums: f32[n_blocks, M]}.
+    The AUC histograms accumulate in place (donated, exact int adds); the
+    per-target ranking SUMS write their own msums row (no f32 accumulator
+    ever exceeds one block's magnitude — the final reduce is f64 on host).
+    """
+    from .metrics import rank_sum_keys, ranking_sums, score_hists
+    pos = scores[:, 0].astype(jnp.float32)
+    neg = scores[:, 1:].astype(jnp.float32)
+    sums = ranking_sums(pos, neg, ks=ks, weights=w)
+    vec = jnp.stack([sums[k] for k in rank_sum_keys(ks)])
+    hp, hn = score_hists(pos, neg, w, carry["hist_pos"], carry["hist_neg"])
+    return dict(hist_pos=hp, hist_neg=hn,
+                msums=carry["msums"].at[bidx].set(vec))
+
+
 def evaluate(eval_step: Callable, params, graph: DeviceGraph, targets,
              batch_size: int = 256, ks=(1, 5, 10),
              max_targets: Optional[int] = None) -> Dict[str, float]:
-    """Split evaluation: pooled AUC + per-target ranking metrics
-    (SURVEY.md §3.4).
+    """Streaming split evaluation: pooled AUC + per-target ranking metrics
+    (SURVEY.md §3.4, §7.3 item 4; VERDICT.md r4 missing #1).
 
-    The whole split is shipped to the device ONCE and batches are sliced
-    on-device — per-batch host->device transfers would serialize on
-    dispatch latency (measured 243s -> ~seconds for 24.5k targets).
+    Fixed-size blocks stream through ONE warm jit shape; each block's
+    scores fold into O(1)-size sufficient statistics on device (rank sums
+    + the two F16_BINS AUC histograms — metrics.py module docstring), so
+    device residency is {block batch, scores, carry} no matter the split:
+    the 1e8-prep val split (10.6M targets × 100 negatives) needs ~4.3 GB
+    for its negatives alone if shipped whole, and its pooled score vector
+    (~2.1e9 floats) cannot be sorted on one chip — neither ever exists
+    here. Block dispatches are issued back-to-back with ONE readback at
+    the end, so the ~25 ms relay RTT (CLAUDE.md) pipelines.
+
+    Pooled AUC is tie-aware at float16 score resolution (metrics.hist_auc;
+    measured |Δ| vs the in-memory sort-based form ~1e-5 on f32 scores,
+    exactly 0 on f16-representable scores — tests/test_metrics.py).
+
     Tail-padding/weights contract is owned by pipeline.eval_index_batches
     (VERDICT.md r2 #9: one tested implementation). max_targets subsamples
     for cheap periodic validation; final evals pass None for the full split.
     """
     from .data.pipeline import eval_index_batches
+    from .metrics import F16_BINS, hist_auc, rank_sum_keys
     n = len(targets)
-    sel = np.arange(n)
+    sel = None
     if max_targets is not None and n > max_targets:
         # Deliberately a FIXED seed, independent of cfg.train.seed: every run
         # (and every seed of a multi-seed sweep) early-stops against the same
@@ -466,30 +496,26 @@ def evaluate(eval_step: Callable, params, graph: DeviceGraph, targets,
         # the FULL split (max_targets=None), so pinned numbers are unaffected.
         sel = np.random.default_rng(0).choice(n, max_targets, replace=False)
         n = max_targets
-    users = jnp.asarray(targets.user[sel])
-    items = jnp.asarray(targets.item[sel])
-    slots = jnp.asarray(targets.slot[sel])
-    negs = jnp.asarray(targets.neg[sel])
-    pos_list, neg_list, w_list = [], [], []
-    for idx_np, w_np in eval_index_batches(n, batch_size):
-        idx = jnp.asarray(idx_np)
-        batch = dict(user=users[idx], item=items[idx], slot=slots[idx],
-                     neg=negs[idx])
+    # host-side views; per-block fancy-indexing ships only [B(,N)] slices
+    cols = {k: (getattr(targets, k) if sel is None
+                else getattr(targets, k)[sel])
+            for k in ("user", "item", "slot", "neg")}
+    names = rank_sum_keys(tuple(ks))
+    n_blocks = -(-n // batch_size)
+    carry = dict(hist_pos=jnp.zeros(F16_BINS, jnp.int32),
+                 hist_neg=jnp.zeros(F16_BINS, jnp.int32),
+                 msums=jnp.zeros((n_blocks, len(names)), jnp.float32))
+    for bi, (idx_np, w_np) in enumerate(eval_index_batches(n, batch_size)):
+        batch = {k: jnp.asarray(v[idx_np]) for k, v in cols.items()}
         scores = eval_step(params, graph, batch)
-        pos_list.append(scores[:, 0])
-        neg_list.append(scores[:, 1:])
-        w_list.append(jnp.asarray(w_np))
-    pos = jnp.concatenate(pos_list)
-    neg = jnp.concatenate(neg_list)
-    w = jnp.concatenate(w_list)
-    out = {k2: float(v)
-           for k2, v in ranking_metrics(pos, neg, ks=ks, weights=w).items()}
-    pooled_scores = jnp.concatenate([pos, neg.reshape(-1)])
-    pooled_labels = jnp.concatenate(
-        [jnp.ones_like(pos), jnp.zeros_like(neg.reshape(-1))])
-    pooled_w = jnp.concatenate(
-        [w, jnp.repeat(w, neg.shape[1])])
-    out["auc"] = float(auc_fn(pooled_scores, pooled_labels, pooled_w))
+        carry = _eval_accum(scores, jnp.asarray(w_np), carry,
+                            jnp.int32(bi), tuple(ks))
+    carry = jax.device_get(carry)                  # single readback
+    sums = carry["msums"].astype(np.float64).sum(axis=0)
+    by_name = dict(zip(names, sums))
+    denom = max(by_name.pop("wsum"), 1.0)
+    out = {k2: float(v / denom) for k2, v in by_name.items()}
+    out["auc"] = hist_auc(carry["hist_pos"], carry["hist_neg"])
     return out
 
 

@@ -4,7 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 from sklearn.metrics import roc_auc_score
 
-from score_tpu.metrics import auc, ranking_metrics
+from score_tpu.metrics import (F16_BINS, auc, f16_bucket, hist_auc,
+                               rank_sum_keys, ranking_metrics, ranking_sums,
+                               score_hists)
 
 
 def test_auc_vs_sklearn(rng):
@@ -78,6 +80,90 @@ def test_ranking_metrics_vs_brute(rng):
     want = brute_rank_metrics(pos, neg, (1, 5, 10))
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=k)
+
+
+def test_f16_bucket_order_preserving(rng):
+    """Bucket keys sort exactly like the scores they bucket (incl. sign
+    boundary, ±0, and clipping saturation at the extremes)."""
+    xs = np.concatenate([
+        rng.normal(scale=5.0, size=2000).astype(np.float32),
+        np.asarray([-0.0, 0.0, -1e-6, 1e-6, -7e4, 7e4, -60000., 60000.],
+                   np.float32)])
+    keys = np.asarray(f16_bucket(jnp.asarray(xs)))
+    assert keys.min() >= 0 and keys.max() < F16_BINS
+    order = np.argsort(xs, kind="stable")
+    k_sorted = keys[order]
+    assert (np.diff(k_sorted) >= 0).all()
+    # strictly increasing where the (clipped) f16 values differ
+    f16 = np.clip(xs, -6e4, 6e4).astype(np.float16)[order]
+    strict = np.asarray(f16[1:]) > np.asarray(f16[:-1])
+    assert (np.diff(k_sorted)[strict] > 0).all()
+    # ±0 collide (one tie bucket, not two adjacent ones)
+    kz = np.asarray(f16_bucket(jnp.asarray([-0.0, 0.0], np.float32)))
+    assert kz[0] == kz[1]
+
+
+def test_hist_auc_exact_on_f16_scores(rng):
+    """On f16-representable scores the streamed histogram AUC equals the
+    sort-based rank-sum AUC exactly (same tie semantics)."""
+    B, N = 400, 20
+    pos = rng.normal(size=B).astype(np.float16).astype(np.float32)
+    neg = rng.normal(size=(B, N)).astype(np.float16).astype(np.float32)
+    neg[0, :3] = pos[0]                    # exact ties
+    w = np.ones(B, np.float32)
+    w[-25:] = 0.0
+    hp = jnp.zeros(F16_BINS, jnp.int32)
+    hn = jnp.zeros(F16_BINS, jnp.int32)
+    # two blocks: merging across blocks must be exact
+    for sl in (slice(0, 150), slice(150, B)):
+        hp, hn = score_hists(jnp.asarray(pos[sl]), jnp.asarray(neg[sl]),
+                             jnp.asarray(w[sl]), hp, hn)
+    got = hist_auc(np.asarray(hp), np.asarray(hn))
+    pooled = np.concatenate([pos, neg.reshape(-1)])
+    labels = np.concatenate([np.ones(B), np.zeros(B * N)]).astype(np.float32)
+    pooled_w = np.concatenate([w, np.repeat(w, N)])
+    want = float(auc(jnp.asarray(pooled), jnp.asarray(labels),
+                     jnp.asarray(pooled_w)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-7)
+
+
+def test_hist_auc_close_on_f32_scores(rng):
+    """On raw f32 scores the only deviation is f16-resolution tie
+    granularity — pinned small (the evaluate docstring's |Δ| claim)."""
+    B, N = 2000, 50
+    pos = rng.normal(loc=0.4, size=B).astype(np.float32)
+    neg = rng.normal(size=(B, N)).astype(np.float32)
+    hp, hn = score_hists(jnp.asarray(pos), jnp.asarray(neg), None,
+                         jnp.zeros(F16_BINS, jnp.int32),
+                         jnp.zeros(F16_BINS, jnp.int32))
+    got = hist_auc(np.asarray(hp), np.asarray(hn))
+    pooled = np.concatenate([pos, neg.reshape(-1)])
+    labels = np.concatenate([np.ones(B), np.zeros(B * N)]).astype(np.float32)
+    want = float(auc(jnp.asarray(pooled), jnp.asarray(labels)))
+    assert abs(got - want) < 2e-4, (got, want)
+
+
+def test_ranking_sums_merge_matches_metrics(rng):
+    """ranking_sums over disjoint blocks, merged by addition, reproduces
+    ranking_metrics over the concatenation (the streaming contract)."""
+    B, N = 90, 12
+    pos = rng.normal(size=B).astype(np.float32)
+    neg = rng.normal(size=(B, N)).astype(np.float32)
+    w = (rng.random(B) > 0.2).astype(np.float32)
+    ks = (1, 5, 10)
+    names = rank_sum_keys(ks)
+    total = np.zeros(len(names), np.float64)
+    for sl in (slice(0, 40), slice(40, B)):
+        s = ranking_sums(jnp.asarray(pos[sl]), jnp.asarray(neg[sl]), ks=ks,
+                         weights=jnp.asarray(w[sl]))
+        total += np.asarray([float(s[k]) for k in names])
+    merged = dict(zip(names, total))
+    denom = max(merged.pop("wsum"), 1.0)
+    want = ranking_metrics(jnp.asarray(pos), jnp.asarray(neg), ks=ks,
+                           weights=jnp.asarray(w))
+    for k, v in merged.items():
+        np.testing.assert_allclose(v / denom, float(want[k]), rtol=1e-5,
+                                   err_msg=k)
 
 
 def test_ranking_metrics_weights(rng):

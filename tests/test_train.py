@@ -381,6 +381,58 @@ def test_eval_step_shapes():
     assert 0.3 < res["auc"] < 0.7
 
 
+def test_streaming_evaluate_matches_in_memory_oracle():
+    """The streamed evaluate (rank sums + f16-bucket AUC histograms,
+    VERDICT.md r4 missing #1) reproduces the in-memory formulation — score
+    the whole split in one shot, run ranking_metrics + pooled auc — on a
+    real model over a real split, with a ragged tail (batch_size 64 over
+    a non-multiple split size).
+
+    AUC tolerance is f16 tie granularity (pinned ~1e-5 scale in
+    test_metrics); ranking metrics must agree to float tolerance."""
+    import jax.numpy as jnp
+
+    from score_tpu.data.pipeline import eval_index_batches
+    from score_tpu.metrics import auc as auc_fn
+    from score_tpu.metrics import ranking_metrics
+    ds = _golden_ds()
+    cfg = configs0()
+    g = device_graph(ds.graph)
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    ev = make_eval_step(model)
+    got = evaluate(ev, state.params, g, ds.val, batch_size=64)
+
+    n = len(ds.val)
+    pos_l, neg_l, w_l = [], [], []
+    for idx, w in eval_index_batches(n, 64):
+        batch = dict(user=jnp.asarray(ds.val.user[idx]),
+                     item=jnp.asarray(ds.val.item[idx]),
+                     slot=jnp.asarray(ds.val.slot[idx]),
+                     neg=jnp.asarray(ds.val.neg[idx]))
+        s = np.asarray(ev(state.params, g, batch), np.float32)
+        pos_l.append(s[:, 0])
+        neg_l.append(s[:, 1:])
+        w_l.append(w)
+    pos = np.concatenate(pos_l)
+    neg = np.concatenate(neg_l)
+    w = np.concatenate(w_l)
+    want = {k: float(v) for k, v in ranking_metrics(
+        jnp.asarray(pos), jnp.asarray(neg), ks=(1, 5, 10),
+        weights=jnp.asarray(w)).items()}
+    pooled = np.concatenate([pos, neg.reshape(-1)])
+    labels = np.concatenate(
+        [np.ones(pos.size), np.zeros(neg.size)]).astype(np.float32)
+    pooled_w = np.concatenate([w, np.repeat(w, neg.shape[1])])
+    want["auc"] = float(auc_fn(jnp.asarray(pooled), jnp.asarray(labels),
+                               jnp.asarray(pooled_w)))
+    assert set(got) == set(want)
+    for k in want:
+        tol = 5e-4 if k == "auc" else 1e-5
+        np.testing.assert_allclose(got[k], want[k], rtol=0, atol=tol,
+                                   err_msg=k)
+
+
 def test_optimizer_and_schedule_choices():
     """Every optimizer/schedule combo builds, steps, and decreases loss."""
     import dataclasses
