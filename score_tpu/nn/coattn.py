@@ -37,6 +37,19 @@ _NEG = -1e9
 # test (tests/test_coattn.py::test_dot_free_candidates_path_matches_einsum).
 DOT_FREE = False
 
+# Reassociation probe (VERDICT.md r4 next #1, round-5): the sum-pool
+# identity's user-side scores reassociate — (Eu_i Wr)·x == Eu_i·(Wr x) — so
+# the [B,T,n,d] EuW intermediate (one of the exact tensors in the r4
+# profile's 33.2% layout-copy group) never needs to exist:
+#   EuW_sum = (Σ_n mu·Eu) @ Wr          (a [B,T,d] matmul, 1/n the FLOPs)
+#   su_c    = Eu · (Ei_sum_c @ Wr^T + ei_c)   (target term FOLDED into the
+#   si_c    = Ei_c · (EuW_sum + eu)            same single dot per side)
+# Float-associativity differs from cross_coattn_ref (sum-of-products vs
+# product-of-sums), so the gate is tolerance-equivalence
+# (tests/test_coattn.py::test_wr_on_summary_matches_ref). Default False
+# until the interleaved A/B on the chip lands (BASELINE.md r5).
+WR_ON_SUMMARY = False
+
 # A/B probe (scripts/perf_sweep.py *_noroll variant): True routes the
 # i_shifts path through the shift-pushdown (rolls confined to [B,T,d]-sized
 # tensors; the big item-side tensor never concatenated); False materializes
@@ -299,11 +312,45 @@ class CrossCoAttention(nn.Module):
             return (cu.reshape(B, C, T, d), ci.reshape(B, C, T, d))
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(d, Eu.dtype))
-        EuW = jnp.einsum("btnd,de->btne", Eu, Wr)               # [B,T,n,d]
         muf = mu[..., None].astype(Eu.dtype)
-        EuW_sum = jnp.sum(EuW * muf, axis=2)                    # [B,T,d]
-        if self.pool == "mean":
-            EuW_sum = EuW_sum / jnp.maximum(jnp.sum(muf, axis=2), 1.0)
+        if WR_ON_SUMMARY:
+            # reassociated form (see the WR_ON_SUMMARY note): Wr applies to
+            # the [B,T,d] masked sum, never to the [B,T,n,d] neighbor tensor
+            Eu_msum = jnp.sum(Eu * muf, axis=2)                 # [B,T,d]
+            if self.pool == "mean":
+                Eu_msum = Eu_msum / jnp.maximum(jnp.sum(muf, axis=2), 1.0)
+            EuW_sum = jnp.einsum("btd,de->bte", Eu_msum, Wr)    # [B,T,d]
+            EuW = None
+        else:
+            EuW = jnp.einsum("btnd,de->btne", Eu, Wr)           # [B,T,n,d]
+            EuW_sum = jnp.sum(EuW * muf, axis=2)                # [B,T,d]
+            if self.pool == "mean":
+                EuW_sum = EuW_sum / jnp.maximum(jnp.sum(muf, axis=2), 1.0)
+
+        def user_scores(Ei_sum_c, ei_c):
+            """[B,T,d] opposite summary (+ optional [B,d] target) -> su_c
+            [B,T,n]. Reassociated form dots Eu once against
+            Ei_sum_c @ Wr^T (+ target, folded)."""
+            if WR_ON_SUMMARY:
+                v = jnp.einsum("de,bte->btd", Wr, Ei_sum_c)
+                if ei_c is not None:
+                    v = v + ei_c[:, None, :]
+                return jnp.einsum("btnd,btd->btn", Eu, v) * scale
+            s = jnp.einsum("btnd,btd->btn", EuW, Ei_sum_c) * scale
+            if ei_c is not None:
+                s = s + jnp.einsum("btnd,bd->btn", Eu, ei_c) * scale
+            return s
+
+        def item_scores(Ei_c, summary, eu_c):
+            """[B,T,m,d] item side x [B,T,d] user summary (+ optional [B,d]
+            target) -> si_c [B,T,m]; the target term folds into the dot."""
+            if WR_ON_SUMMARY and eu_c is not None:
+                return jnp.einsum("btmd,btd->btm", Ei_c,
+                                  summary + eu_c[:, None, :]) * scale
+            s = jnp.einsum("btmd,btd->btm", Ei_c, summary) * scale
+            if eu_c is not None:
+                s = s + jnp.einsum("btmd,bd->btm", Ei_c, eu_c) * scale
+            return s
         if i_shifts is None:
             mif = mi[..., None].astype(Ei.dtype)
             Ei_sum = jnp.sum(Ei * mif, axis=3)                  # [B,C,T,d]
@@ -334,9 +381,8 @@ class CrossCoAttention(nn.Module):
                 # item summary (roll back: index b reads item b+s's summary)
                 Ei_sum_c = (Ei_sum_item if s is None
                             else jnp.roll(Ei_sum_item, -s, axis=0))
-                su_c = jnp.einsum("btnd,btd->btn", EuW, Ei_sum_c) * scale
-                if self.target_aware:
-                    su_c += jnp.einsum("btnd,bd->btn", Eu, ei[:, c]) * scale
+                su_c = user_scores(
+                    Ei_sum_c, ei[:, c] if self.target_aware else None)
                 a_c = masked_softmax(su_c, mu)
                 cus.append(jnp.einsum("btn,btnd->btd", a_c, Eu))
                 # item-aligned frame: roll the user summaries FORWARD so
@@ -344,10 +390,10 @@ class CrossCoAttention(nn.Module):
                 # [B,T,d] result back
                 EuW_sum_c = (EuW_sum if s is None
                              else jnp.roll(EuW_sum, s, axis=0))
-                si_c = jnp.einsum("btmd,btd->btm", Ei0, EuW_sum_c) * scale
+                eu_s = None
                 if self.target_aware:
                     eu_s = eu if s is None else jnp.roll(eu, s, axis=0)
-                    si_c += jnp.einsum("btmd,bd->btm", Ei0, eu_s) * scale
+                si_c = item_scores(Ei0, EuW_sum_c, eu_s)
                 b_c = masked_softmax(si_c, mi_item)
                 ci_c = jnp.einsum("btm,btmd->btd", b_c, Ei0)
                 cis.append(ci_c if s is None
@@ -360,6 +406,8 @@ class CrossCoAttention(nn.Module):
             # cost of the whole aggregation at C=2). Per-candidate 'btnd,
             # btd->btn' contractions are the fast pre-candidates shapes.
             sus, sis, cus, cis = [], [], [], []
+            if DOT_FREE and EuW is None:       # retired probe needs EuW
+                EuW = jnp.einsum("btnd,de->btne", Eu, Wr)
             for c in range(C):
                 if DOT_FREE:
                     su_c = _vdot(EuW, Ei_sum[:, c, :, None, :]) * scale
@@ -372,22 +420,33 @@ class CrossCoAttention(nn.Module):
                     cus.append(_wsum(a_c, Eu))
                     cis.append(_wsum(b_c, Ei[:, c]))
                     continue
-                su_c = jnp.einsum("btnd,btd->btn", EuW, Ei_sum[:, c]) * scale
-                si_c = jnp.einsum("btmd,btd->btm", Ei[:, c], EuW_sum) * scale
-                if self.target_aware:
-                    su_c += jnp.einsum("btnd,bd->btn", Eu, ei[:, c]) * scale
-                    si_c += jnp.einsum("btmd,bd->btm", Ei[:, c], eu) * scale
+                su_c = user_scores(
+                    Ei_sum[:, c], ei[:, c] if self.target_aware else None)
+                si_c = item_scores(Ei[:, c], EuW_sum,
+                                   eu if self.target_aware else None)
                 a_c = masked_softmax(su_c, mu)
                 b_c = masked_softmax(si_c, mi[:, c])
                 cus.append(jnp.einsum("btn,btnd->btd", a_c, Eu))
                 cis.append(jnp.einsum("btm,btmd->btd", b_c, Ei[:, c]))
             return jnp.stack(cus, 1), jnp.stack(cis, 1)
 
-        su = jnp.einsum("btnd,bctd->bctn", EuW, Ei_sum) * scale
-        si = jnp.einsum("bctmd,btd->bctm", Ei, EuW_sum) * scale
-        if self.target_aware:
-            su = su + jnp.einsum("btnd,bcd->bctn", Eu, ei) * scale
-            si = si + jnp.einsum("bctmd,bd->bctm", Ei, eu) * scale
+        if WR_ON_SUMMARY:
+            v = jnp.einsum("de,bcte->bctd", Wr, Ei_sum)         # [B,C,T,d]
+            if self.target_aware:
+                v = v + ei[:, :, None, :]
+            su = jnp.einsum("btnd,bctd->bctn", Eu, v) * scale
+            w = EuW_sum
+            if self.target_aware:
+                w = w[:, None] + eu[:, None, None, :]
+                si = jnp.einsum("bctmd,bctd->bctm", Ei, w) * scale
+            else:
+                si = jnp.einsum("bctmd,btd->bctm", Ei, w) * scale
+        else:
+            su = jnp.einsum("btnd,bctd->bctn", EuW, Ei_sum) * scale
+            si = jnp.einsum("bctmd,btd->bctm", Ei, EuW_sum) * scale
+            if self.target_aware:
+                su = su + jnp.einsum("btnd,bcd->bctn", Eu, ei) * scale
+                si = si + jnp.einsum("bctmd,bd->bctm", Ei, eu) * scale
         a = masked_softmax(su, mu[:, None])                     # [B,C,T,n]
         b = masked_softmax(si, mi)                              # [B,C,T,m]
         cu = jnp.einsum("bctn,btnd->bctd", a, Eu)

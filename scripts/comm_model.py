@@ -112,7 +112,10 @@ def analytic_a2a_bytes(B: int, C: int, T: int, n: int, m: int, d: int,
     return total
 
 
-def compile_step_bytes(B: int, capacity: int = 0):
+def compile_step(B: int, capacity: int = 0):
+    """Compile the full configs4 bench train step on the fake 8-device mesh;
+    returns the jax Compiled object (per-device SPMD HLO via .as_text()).
+    Shared by the byte model below and scripts/overlap_check.py."""
     from score_tpu.config import configs4
     from score_tpu.data import synth
     from score_tpu.data.prep_common import build_dataset
@@ -153,7 +156,11 @@ def compile_step_bytes(B: int, capacity: int = 0):
                     else np.resize(getattr(ds.train, k), B)), bs)
         for k in ("user", "item", "slot")}
     lowered = step.lower(state, graph, batch, jax.random.PRNGKey(0))
-    compiled = lowered.compile()
+    return lowered.compile(), cfg
+
+
+def compile_step_bytes(B: int, capacity: int = 0):
+    compiled, cfg = compile_step(B, capacity)
     hlo = compiled.as_text()
     got = collective_bytes(hlo)
     hbm = None

@@ -34,7 +34,8 @@ TRAIN_CALLS = 6
 def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
                 pallas_coattn=False, num_train_neg=1, neg_mode="uniform",
                 dotfree=False, gru_unroll=1, embed_dim=EMBED_DIM,
-                push_rolls=False, table_stride=1, static_pair=False):
+                push_rolls=False, table_stride=1, static_pair=False,
+                wr_on_summary=None, table_lr_boost=1.0):
     # push_rolls default matches the SHIPPED nn.coattn default (False =
     # materialized rolls; the pushdown lost the r3 A/B). The r3 sweep ran
     # with True as this function's default, so r3 rows named
@@ -46,6 +47,8 @@ def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
     from score_tpu.nn import encoder as _encoder
     _coattn.DOT_FREE = dotfree
     _coattn.PUSH_ROLLS = push_rolls
+    if wr_on_summary is not None:
+        _coattn.WR_ON_SUMMARY = wr_on_summary
     _encoder.SCAN_UNROLL = gru_unroll
     from score_tpu.data.pipeline import TargetIterator
     from score_tpu.train import (_stack_batches, build_model, init_state,
@@ -60,7 +63,8 @@ def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
         data=cfg.data.__class__(num_train_neg=num_train_neg,
                                 train_neg_mode=neg_mode),
         train=cfg.train.__class__(batch_size=batch,
-                                  table_update_every=table_stride))
+                                  table_update_every=table_stride,
+                                  table_lr_boost=table_lr_boost))
     model = build_model(cfg, ds.num_users, ds.num_items,
                         use_pallas_coattn=pallas_coattn)
     rng = jax.random.PRNGKey(0)
@@ -177,6 +181,14 @@ VARIANTS = {
     "b4096_bf16_iw_stride2_static": dict(
         batch=4096, compute_dtype="bfloat16", neg_mode="inbatch_iw",
         table_stride=2, static_pair=True),
+    # r5: the SHIPPED bench step (static stride loop via make_train_loop)
+    # with the WR_ON_SUMMARY reassociation off/on — the A/B for adopting it
+    "b4096_bf16_iw_s2_wrbase": dict(
+        batch=4096, compute_dtype="bfloat16", neg_mode="inbatch_iw",
+        table_stride=2, table_lr_boost=2.0, wr_on_summary=False),
+    "b4096_bf16_iw_s2_wrsum": dict(
+        batch=4096, compute_dtype="bfloat16", neg_mode="inbatch_iw",
+        table_stride=2, table_lr_boost=2.0, wr_on_summary=True),
 }
 
 

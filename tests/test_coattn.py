@@ -206,6 +206,53 @@ def test_dot_free_candidates_path_matches_einsum(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("pool,target_aware,C",
+                         [("sum", True, 2), ("sum", False, 2),
+                          ("mean", True, 2), ("sum", True, 12)])
+def test_wr_on_summary_matches_ref(rng, pool, target_aware, C):
+    """The WR_ON_SUMMARY reassociation ((Eu Wr)·x == Eu·(Wr x); target term
+    folded into the same dot) must be tolerance-equivalent to the
+    materialized-EuW path — values and grads — on both the unrolled C<=8
+    path and the generic C>8 path."""
+    from score_tpu.nn import coattn as ca
+
+    B, T, n, m, d = 4, 3, 5, 6, 8
+    Eu = jnp.asarray(rng.normal(size=(B, T, n, d)).astype(np.float32))
+    Ei = jnp.asarray(rng.normal(size=(B, C, T, m, d)).astype(np.float32))
+    mu = jnp.asarray(rng.random((B, T, n)) > 0.3)
+    mi = jnp.asarray(rng.random((B, C, T, m)) > 0.3)
+    eu = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    ei = jnp.asarray(rng.normal(size=(B, C, d)).astype(np.float32))
+    mod = ca.CrossCoAttention(pool=pool, target_aware=target_aware)
+    params = mod.init(jax.random.PRNGKey(0), Eu, Ei, mu, mi, eu, ei)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(
+            rng.normal(size=x.shape).astype(np.float32)) * 0.1, params)
+
+    def run(flag):
+        old = ca.WR_ON_SUMMARY
+        ca.WR_ON_SUMMARY = flag
+        try:
+            def loss(p, Eu_, Ei_):
+                cu, ci = mod.apply(p, Eu_, Ei_, mu, mi, eu, ei)
+                return jnp.sum(cu ** 2) + 0.5 * jnp.sum(ci ** 2), (cu, ci)
+            (val, (cu, ci)), grads = jax.value_and_grad(
+                loss, argnums=(0, 1, 2), has_aux=True)(params, Eu, Ei)
+            return val, cu, ci, grads
+        finally:
+            ca.WR_ON_SUMMARY = old
+
+    v0, cu0, ci0, g0 = run(False)
+    v1, cu1, ci1, g1 = run(True)
+    np.testing.assert_allclose(np.asarray(cu0), np.asarray(cu1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ci0), np.asarray(ci1),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_shift_pushdown_matches_materialized_rolls(rng):
     """The i_shifts shift-pushdown path (coattn.PUSH_ROLLS=True) must equal
     the materialized-roll path bit-for-bit in f32, values and grads —
