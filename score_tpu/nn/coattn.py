@@ -50,6 +50,18 @@ DOT_FREE = False
 # until the interleaved A/B on the chip lands (BASELINE.md r5).
 WR_ON_SUMMARY = False
 
+# Candidates-form fused Pallas kernel (kernels/coattn_cand.py, VERDICT.md
+# r4 #1): True routes the sum-pool candidates path through one kernel that
+# reads Eu/Ei once and keeps masked sums, reassociated scores, target
+# terms, both softmaxes, and both weighted sums in VMEM (fused backward
+# too). Attacks the r4 profile's 33.2% layout-copy group at its source —
+# the inter-fusion relayouts of the [B,T,n,d] tensors. Equivalence-gated
+# in tests/test_kernels.py (values + all five grads). Default False until
+# the chip A/B vs the 257k pin lands (BASELINE.md r5).
+CAND_KERNEL = False
+CAND_TILE_B = 128
+CAND_INTERPRET = False   # tests: run the kernel interpreted on CPU
+
 # A/B probe (scripts/perf_sweep.py *_noroll variant): True routes the
 # i_shifts path through the shift-pushdown (rolls confined to [B,T,d]-sized
 # tensors; the big item-side tensor never concatenated); False materializes
@@ -291,6 +303,14 @@ class CrossCoAttention(nn.Module):
             Ei = jnp.concatenate(
                 [Ei] + [jnp.roll(Ei, -s, axis=0) for s in i_shifts], axis=1)
             i_shifts = None
+
+        if (CAND_KERNEL and self.pool == "sum" and not self.use_pallas
+                and not self.force_pairflat and not DOT_FREE
+                and i_shifts is None):
+            from score_tpu.kernels.coattn_cand import cross_coattn_cand
+            return cross_coattn_cand(Eu, Ei, mu, mi, Wr, eu, ei,
+                                     self.target_aware, CAND_TILE_B,
+                                     CAND_INTERPRET)
 
         if (self.pool not in ("sum", "mean") or self.use_pallas
                 or self.force_pairflat):

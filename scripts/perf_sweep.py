@@ -35,7 +35,8 @@ def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
                 pallas_coattn=False, num_train_neg=1, neg_mode="uniform",
                 dotfree=False, gru_unroll=1, embed_dim=EMBED_DIM,
                 push_rolls=False, table_stride=1, static_pair=False,
-                wr_on_summary=None, table_lr_boost=1.0):
+                wr_on_summary=None, table_lr_boost=1.0, cand_kernel=False,
+                cand_tile_b=128):
     # push_rolls default matches the SHIPPED nn.coattn default (False =
     # materialized rolls; the pushdown lost the r3 A/B). The r3 sweep ran
     # with True as this function's default, so r3 rows named
@@ -49,6 +50,8 @@ def run_variant(name, ds, graph, *, batch, compute_dtype="float32",
     _coattn.PUSH_ROLLS = push_rolls
     if wr_on_summary is not None:
         _coattn.WR_ON_SUMMARY = wr_on_summary
+    _coattn.CAND_KERNEL = cand_kernel
+    _coattn.CAND_TILE_B = cand_tile_b
     _encoder.SCAN_UNROLL = gru_unroll
     from score_tpu.data.pipeline import TargetIterator
     from score_tpu.train import (_stack_batches, build_model, init_state,
@@ -189,6 +192,15 @@ VARIANTS = {
     "b4096_bf16_iw_s2_wrsum": dict(
         batch=4096, compute_dtype="bfloat16", neg_mode="inbatch_iw",
         table_stride=2, table_lr_boost=2.0, wr_on_summary=True),
+    # r5: the candidates-form fused Pallas kernel (kernels/coattn_cand.py)
+    # in the shipped bench step, at two block sizes
+    "b4096_bf16_iw_s2_cand": dict(
+        batch=4096, compute_dtype="bfloat16", neg_mode="inbatch_iw",
+        table_stride=2, table_lr_boost=2.0, cand_kernel=True),
+    "b4096_bf16_iw_s2_cand256": dict(
+        batch=4096, compute_dtype="bfloat16", neg_mode="inbatch_iw",
+        table_stride=2, table_lr_boost=2.0, cand_kernel=True,
+        cand_tile_b=256),
 }
 
 

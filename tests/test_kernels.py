@@ -129,3 +129,90 @@ def test_coattn_kernel_under_jit(rng):
     want_cu, want_ci = cross_coattn_ref(Eu, Ei, mu, mi, Wr, eu, ei)
     np.testing.assert_allclose(np.asarray(got_cu), np.asarray(want_cu),
                                rtol=1e-5, atol=1e-5)
+
+
+# --- candidates-form fused kernel (VERDICT.md r4 #1) ---
+
+def _cand_inputs(rng, B, C, T, n, m, d, dtype=np.float32):
+    Eu = jnp.asarray(rng.normal(size=(B, T, n, d)).astype(dtype))
+    Ei = jnp.asarray(rng.normal(size=(B, C, T, m, d)).astype(dtype))
+    mu = jnp.asarray(rng.random((B, T, n)) > 0.3)
+    mi = jnp.asarray(rng.random((B, C, T, m)) > 0.3)
+    # include a fully-padded slot on both sides
+    mu = mu.at[0, 0].set(False)
+    mi = mi.at[0, :, 1].set(False)
+    Wr = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32)) * 0.3
+    eu = jnp.asarray(rng.normal(size=(B, d)).astype(dtype))
+    ei = jnp.asarray(rng.normal(size=(B, C, d)).astype(dtype))
+    return Eu, Ei, mu, mi, Wr, eu, ei
+
+
+@pytest.mark.parametrize("B,C,T,n,m,d,ta",
+                         [(4, 2, 3, 5, 6, 8, True),
+                          (4, 2, 3, 5, 6, 8, False),
+                          (3, 4, 2, 4, 3, 16, True),  # B not tile-divisible
+                          (5, 1, 4, 6, 5, 8, True)])  # C == 1 (flat pairs)
+def test_cand_kernel_matches_ref(rng, B, C, T, n, m, d, ta):
+    from score_tpu.kernels.coattn_cand import (cross_coattn_cand,
+                                               cross_coattn_cand_ref)
+    Eu, Ei, mu, mi, Wr, eu, ei = _cand_inputs(rng, B, C, T, n, m, d)
+    got_cu, got_ci = cross_coattn_cand(Eu, Ei, mu, mi, Wr, eu, ei,
+                                       ta, 2, True)   # tile_b=2 -> multi-tile
+    want_cu, want_ci = cross_coattn_cand_ref(Eu, Ei, mu, mi, Wr, eu, ei,
+                                             target_aware=ta)
+    np.testing.assert_allclose(np.asarray(got_cu), np.asarray(want_cu),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_ci), np.asarray(want_ci),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("ta", [True, False])
+def test_cand_kernel_grads_match_ref(rng, ta):
+    """Fused backward vs jax.vjp of the plain reference — all five grads,
+    multi-tile grid (dWr accumulates across revisits)."""
+    from score_tpu.kernels.coattn_cand import (cross_coattn_cand,
+                                               cross_coattn_cand_ref)
+    B, C, T, n, m, d = 5, 2, 3, 4, 6, 8
+    Eu, Ei, mu, mi, Wr, eu, ei = _cand_inputs(rng, B, C, T, n, m, d)
+    dcu = jnp.asarray(rng.normal(size=(B, C, T, d)).astype(np.float32))
+    dci = jnp.asarray(rng.normal(size=(B, C, T, d)).astype(np.float32))
+
+    def k_fn(Eu_, Ei_, Wr_, eu_, ei_):
+        return cross_coattn_cand(Eu_, Ei_, mu, mi, Wr_, eu_, ei_,
+                                 ta, 2, True)
+
+    def r_fn(Eu_, Ei_, Wr_, eu_, ei_):
+        return cross_coattn_cand_ref(Eu_, Ei_, mu, mi, Wr_, eu_, ei_,
+                                     target_aware=ta)
+
+    _, k_vjp = jax.vjp(k_fn, Eu, Ei, Wr, eu, ei)
+    _, r_vjp = jax.vjp(r_fn, Eu, Ei, Wr, eu, ei)
+    got = k_vjp((dcu, dci))
+    want = r_vjp((dcu, dci))
+    for g, w_, name in zip(got, want, ("dEu", "dEi", "dWr", "deu", "dei")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_cand_kernel_matches_module_path(rng):
+    """The kernel == the shipped CrossCoAttention candidates path (post
+    target-projection contract): zero-init projections make eu/ei zero
+    queries, so compare with explicit pre-projected targets instead."""
+    from score_tpu.kernels.coattn_cand import (cross_coattn_cand,
+                                               cross_coattn_cand_ref)
+    from score_tpu.nn import coattn as ca
+    B, C, T, n, m, d = 4, 2, 3, 5, 6, 8
+    Eu, Ei, mu, mi, Wr, eu, ei = _cand_inputs(rng, B, C, T, n, m, d)
+    # module with target_aware=False takes raw eu/ei -> matches the kernel's
+    # non-target form; target terms are covered by the ref tests above
+    mod = ca.CrossCoAttention(pool="sum", target_aware=False)
+    params = mod.init(jax.random.PRNGKey(0), Eu, Ei, mu, mi, eu, ei)
+    params = jax.tree.map(lambda x: x, params)
+    params["params"]["wr"] = Wr
+    want_cu, want_ci = mod.apply(params, Eu, Ei, mu, mi, eu, ei)
+    got_cu, got_ci = cross_coattn_cand(Eu, Ei, mu, mi, Wr, eu, ei,
+                                       False, 2, True)
+    np.testing.assert_allclose(np.asarray(got_cu), np.asarray(want_cu),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_ci), np.asarray(want_ci),
+                               rtol=1e-5, atol=1e-5)
