@@ -82,6 +82,16 @@ def cross_coattn_cand_ref(Eu, Ei, mu, mi, Wr, eu, ei,
     return cu, ci
 
 
+def _sum_t(x):
+    """[BT, T, d] -> [BT, d]: jnp.sum(axis=1) over the middle axis of a
+    rank-3 VMEM value crashes the Mosaic compiler on this toolchain
+    (bisected in round 5); unrolled slice-adds lower cleanly. T is 9."""
+    s = x[:, 0]
+    for t in range(1, x.shape[1]):
+        s = s + x[:, t]
+    return s
+
+
 def _smax(s, mask):
     s = jnp.where(mask > 0, s, _NEG)
     s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -180,10 +190,15 @@ def _cand_bwd_kernel(Eu_ref, Ei_ref, mu_ref, mi_ref, Wr_ref, eu_ref, ei_ref,
         dw = dw + scale * jnp.sum(dsi[..., None] * Ei_c, axis=2)
         # v = Ei_sum @ Wr^T (+ ei_c)
         if target_aware:
-            dei_ref[:, c] = jnp.sum(dv, axis=1).astype(dei_ref.dtype)
-        dWr = dWr + jnp.dot(dv.reshape(BT * T, d).T,
-                            Ei_sum.reshape(BT * T, d),
-                            preferred_element_type=jnp.float32)
+            # dei is candidate-major [C, BT, d]: a [:, c] write into a
+            # [BT, C, d] ref (middle dim 2, bf16 tiling) crashes the
+            # Mosaic compiler; a leading-index write is the supported form
+            dei_ref[c] = _sum_t(dv).astype(dei_ref.dtype)
+        # contract the big axis without materializing a transpose (a
+        # [BT*T, d].T relayout crashed the Mosaic compile)
+        dWr = dWr + jax.lax.dot_general(
+            dv.reshape(BT * T, d), Ei_sum.reshape(BT * T, d),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dEi_sum = jnp.dot(dv.reshape(BT * T, d), Wr,
                           preferred_element_type=jnp.float32
                           ).reshape(BT, T, d)
@@ -193,15 +208,14 @@ def _cand_bwd_kernel(Eu_ref, Ei_ref, mu_ref, mi_ref, Wr_ref, eu_ref, ei_ref,
 
     # w = EuW_sum (+ eu) ; EuW_sum = Eu_msum @ Wr ; Eu_msum = Σ_n mu·Eu
     if target_aware:
-        deu_ref[:] = jnp.sum(dw, axis=1).astype(deu_ref.dtype)
+        deu_ref[:] = _sum_t(dw).astype(deu_ref.dtype)
     else:
         deu_ref[:] = jnp.zeros(deu_ref.shape, deu_ref.dtype)
-        if C >= 1:  # dei untouched above when not target_aware
-            dei_ref[:] = jnp.zeros(dei_ref.shape, dei_ref.dtype)
+        dei_ref[:] = jnp.zeros(dei_ref.shape, dei_ref.dtype)
     Eu_msum = jnp.sum(Eu * mu[..., None], axis=2)
-    dWr = dWr + jnp.dot(Eu_msum.reshape(BT * T, d).T,
-                        dw.reshape(BT * T, d),
-                        preferred_element_type=jnp.float32)
+    dWr = dWr + jax.lax.dot_general(
+        Eu_msum.reshape(BT * T, d), dw.reshape(BT * T, d),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dEu_msum = jnp.dot(dw.reshape(BT * T, d), Wr.T,
                        preferred_element_type=jnp.float32).reshape(BT, T, d)
     dEu = dEu + mu[..., None] * dEu_msum[:, :, None, :]
@@ -212,6 +226,19 @@ def _cand_bwd_kernel(Eu_ref, Ei_ref, mu_ref, mi_ref, Wr_ref, eu_ref, ei_ref,
         dWr_ref[:] = jnp.zeros_like(dWr_ref)
 
     dWr_ref[:] += dWr
+
+
+# The f32 intermediates at (n=10, d=32) pad to (8,128)-tiles — a ~6.4x
+# physical blowup — so the default 16 MB scoped-VMEM limit OOMs at useful
+# block sizes. v5e has far more physical VMEM; raise the scoped limit and
+# let block-size tuning (CAND_TILE_B) find the perf sweet spot.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _params(interpret: bool):
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _pad_b(x, Bp):
@@ -251,6 +278,7 @@ def _cand_fwd(Eu, Ei, mu, mi, Wr, eu, ei, *, target_aware: bool,
         out_specs=(blk((C, T, d)), blk((C, T, d))),
         out_shape=(jax.ShapeDtypeStruct((Bp, C, T, d), out_dt),
                    jax.ShapeDtypeStruct((Bp, C, T, d), out_dt)),
+        compiler_params=_params(interpret),
         interpret=interpret,
     )(*args)
     return cu[:B], ci[:B]
@@ -269,19 +297,23 @@ def _cand_bwd(Eu, Ei, mu, mi, Wr, eu, ei, dcu, dci, *, target_aware: bool,
             _pad_b(dcu, Bp), _pad_b(dci, Bp)]
     blk, wr, ins = _specs(T, n, m, d, C, bt)
     ins = ins + [blk((C, T, d)), blk((C, T, d))]
+    dei_spec = pl.BlockSpec((C, bt, d), lambda g: (0, g, 0),
+                            memory_space=pltpu.VMEM)
     dEu, dEi, deu, dei, dWr = pl.pallas_call(
         functools.partial(_cand_bwd_kernel, target_aware=target_aware),
         grid=(Bp // bt,),
         in_specs=ins,
         out_specs=(blk((T, n, d)), blk((C, T, m, d)), blk((d,)),
-                   blk((C, d)), wr),
+                   dei_spec, wr),
         out_shape=(jax.ShapeDtypeStruct((Bp, T, n, d), Eu.dtype),
                    jax.ShapeDtypeStruct((Bp, C, T, m, d), Ei.dtype),
                    jax.ShapeDtypeStruct((Bp, d), eu.dtype),
-                   jax.ShapeDtypeStruct((Bp, C, d), ei.dtype),
+                   jax.ShapeDtypeStruct((C, Bp, d), ei.dtype),
                    jax.ShapeDtypeStruct((d, d), jnp.float32)),
+        compiler_params=_params(interpret),
         interpret=interpret,
     )(*args)
+    dei = jnp.transpose(dei, (1, 0, 2))
     return (dEu[:B], dEi[:B], dWr.astype(Wr.dtype), deu[:B], dei[:B])
 
 

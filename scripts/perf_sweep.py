@@ -194,13 +194,17 @@ VARIANTS = {
         table_stride=2, table_lr_boost=2.0, wr_on_summary=True),
     # r5: the candidates-form fused Pallas kernel (kernels/coattn_cand.py)
     # in the shipped bench step, at two block sizes
+    # tile 64 is the largest that fits the fused backward's scoped VMEM
+    # (the f32 (n=10,d=32)->(16,128) tile padding is a ~6.4x physical
+    # blowup; BT=128 needs >100MB)
     "b4096_bf16_iw_s2_cand": dict(
         batch=4096, compute_dtype="bfloat16", neg_mode="inbatch_iw",
-        table_stride=2, table_lr_boost=2.0, cand_kernel=True),
-    "b4096_bf16_iw_s2_cand256": dict(
+        table_stride=2, table_lr_boost=2.0, cand_kernel=True,
+        cand_tile_b=64),
+    "b4096_bf16_iw_s2_cand32": dict(
         batch=4096, compute_dtype="bfloat16", neg_mode="inbatch_iw",
         table_stride=2, table_lr_boost=2.0, cand_kernel=True,
-        cand_tile_b=256),
+        cand_tile_b=32),
 }
 
 
