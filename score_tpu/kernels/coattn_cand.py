@@ -32,6 +32,20 @@ reference below (f32), values AND grads — tests/test_kernels.py. The
 backward is a second fused kernel (recomputes the forward in VMEM, fuses
 both softmax VJPs and all weighted-sum VJPs, accumulates dWr across the
 sequential grid).
+
+RETIRED from the train path (chip A/B, CAND_KERNEL_r5.json): inside the
+shipped static stride loop, tile 32 — the largest block that compiles in
+the full step graph — measured 158.5k examples/s vs 233.7k for the jnp
+path in the same sweep window (-32%); tile 64 compiles standalone (1e74a69
+fixes) but crashes the Mosaic compiler when embedded in the step. The
+structural loss is tile padding: at (n=10, d=32) every f32 VMEM
+intermediate rounds up to (8,128) tiles, ~6.4x the logical bytes, so the
+fused kernel moves MORE physical VMEM traffic than the jnp path's
+relayout copies cost. This is the second shape-driven retirement of a
+co-attention kernel (per-pair form: BASELINE.md r2) and closes VERDICT.md
+r4 #1 on the retire branch — with the measurement taken on the RIGHT
+(candidates) form this time. The kernel stays, interpret-gated, as the
+reference fused implementation.
 """
 
 from __future__ import annotations

@@ -46,8 +46,11 @@ DOT_FREE = False
 #   si_c    = Ei_c · (EuW_sum + eu)            same single dot per side)
 # Float-associativity differs from cross_coattn_ref (sum-of-products vs
 # product-of-sums), so the gate is tolerance-equivalence
-# (tests/test_coattn.py::test_wr_on_summary_matches_ref). Default False
-# until the interleaved A/B on the chip lands (BASELINE.md r5).
+# (tests/test_coattn.py::test_wr_on_summary_matches_ref). RETIRED by the
+# chip A/B (CAND_KERNEL_r5.json): 151.7k vs 233.7k same-window baseline
+# (-35%) — killing the EuW intermediate also kills the n-axis batched-dot
+# fusion XLA builds around it; the smaller-FLOPs form loses to the
+# better-fused one. Stays off; equivalence test keeps the probe honest.
 WR_ON_SUMMARY = False
 
 # Candidates-form fused Pallas kernel (kernels/coattn_cand.py, VERDICT.md
@@ -56,8 +59,15 @@ WR_ON_SUMMARY = False
 # terms, both softmaxes, and both weighted sums in VMEM (fused backward
 # too). Attacks the r4 profile's 33.2% layout-copy group at its source —
 # the inter-fusion relayouts of the [B,T,n,d] tensors. Equivalence-gated
-# in tests/test_kernels.py (values + all five grads). Default False until
-# the chip A/B vs the 257k pin lands (BASELINE.md r5).
+# in tests/test_kernels.py (values + all five grads). RETIRED by the chip
+# A/B (CAND_KERNEL_r5.json): tile 32 (the largest that compiles inside the
+# full train step) ran 158.5k vs 233.7k same-window baseline (-32%); tile
+# 64 compiles standalone but crashes the Mosaic compiler inside the step
+# graph. Structural cause: at (n=10, d=32) every f32 intermediate pads to
+# (8,128) VMEM tiles — a ~6.4x physical traffic blowup that exceeds what
+# the jnp path's 33.2% relayout copies cost. The right fix for this shape
+# class is layout-aware XLA fusion, not a hand kernel. Stays off;
+# interpret-mode equivalence tests keep the kernel honest.
 CAND_KERNEL = False
 CAND_TILE_B = 128
 CAND_INTERPRET = False   # tests: run the kernel interpreted on CPU

@@ -241,6 +241,36 @@ def test_scoring_service_batch_matches_single(tiny_dataset):
     np.testing.assert_allclose(out, out2[:3], rtol=1e-5, atol=1e-6)
 
 
+def test_topk_batch_matches_per_user(tiny_dataset):
+    """topk_batch (multi-user catalog path, VERDICT.md r4 weak #6) ≡
+    per-user topk — same items, same scores, per row — through the chunked
+    merge (candidate_chunk forces multiple blocks), plus the empty edges."""
+    from score_tpu.serve import ScoringService
+    cfg = configs3()
+    g = device_graph(tiny_dataset.graph)
+    model = build_model(cfg, tiny_dataset.num_users, tiny_dataset.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    svc = ScoringService(cfg, tiny_dataset, state.params,
+                         candidate_chunk=16)   # catalog -> several blocks
+    users = [3, 1, 5]
+    bi, bs = svc.topk_batch(users, k=4)
+    assert bi.shape == (3, 4) and bs.shape == (3, 4)
+    assert (np.diff(bs, axis=1) <= 1e-6).all()
+    for r, u in enumerate(users):
+        ti, ts = svc.topk(u, k=4)
+        np.testing.assert_array_equal(bi[r], ti)
+        np.testing.assert_allclose(bs[r], ts, rtol=1e-5, atol=1e-6)
+    # shared explicit candidate list + empty edges
+    cand = np.arange(1, 30, dtype=np.int32)
+    bi2, bs2 = svc.topk_batch(users, k=3, candidates=cand)
+    for r, u in enumerate(users):
+        ti, ts = svc.topk(u, k=3, candidates=cand)
+        np.testing.assert_array_equal(bi2[r], ti)
+    for bad in (svc.topk_batch(users, k=0), svc.topk_batch([], k=4),
+                svc.topk_batch(users, k=3, candidates=[])):
+        assert bad[0].shape[1] == 0 and bad[1].shape[1] == 0
+
+
 def test_scoring_service_matches_model_apply(tiny_dataset):
     """Pin the service path to the flat model forward (ADVICE.md r3):
     svc.score == a direct model.apply(__call__) on a gather_batch minibatch
