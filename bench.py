@@ -125,17 +125,20 @@ def main() -> None:
     # reps show 4934/23.3 at both r1 and r2 code states). Serving numbers
     # here are therefore best-of-3 spaced reps — a floor measurement of the
     # serving path, which is the quantity the A/B established as stable.
-    from score_tpu.train import evaluate
+    from score_tpu.train import eval_table_cast, evaluate
+    # bf16 table pre-cast for the eval path (the serving r4 gather fix,
+    # applied to evaluation in r5 — same values to bf16 resolution)
+    eval_params = eval_table_cast(state.params, cfg.model.compute_dtype)
     n_eval = 4096
     # warmup at the SAME max_targets: the pooled-metric graphs compile per
     # target-count shape, and a shape-cold timed call measures the compile
     # (measured 47s compile vs 0.8s eval at 4096 targets)
-    ev = evaluate(eval_step, state.params, graph, ds.val,
+    ev = evaluate(eval_step, eval_params, graph, ds.val,
                   batch_size=512, max_targets=n_eval)   # compile warmup
     eval_targets_per_s = 0.0
     for _ in range(3):
         t_ev = time.time()
-        ev = evaluate(eval_step, state.params, graph, ds.val,
+        ev = evaluate(eval_step, eval_params, graph, ds.val,
                       batch_size=512, max_targets=n_eval)
         eval_targets_per_s = max(eval_targets_per_s,
                                  n_eval / (time.time() - t_ev))

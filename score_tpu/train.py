@@ -459,6 +459,32 @@ def _eval_accum(scores, w, carry, bidx, ks):
                 msums=carry["msums"].at[bidx].set(vec))
 
 
+def eval_table_cast(params, compute_dtype) -> dict:
+    """bf16 pre-cast of 2-D embedding-table leaves for EVAL-path gathers.
+
+    The serving-side r4 finding (BASELINE.md: catalog topk 3.3×) applies
+    identically to evaluation at reference scale: with the f32→bf16
+    convert fused into the gather, XLA picks a layout-pathological
+    column-major table read at multi-hundred-MB table sizes; a pre-cast
+    bf16 table gathers contiguous rows at half the bytes. Same values by
+    construction — rounding commutes with row selection, so the model's
+    `gather(table).astype(bf16)` sees bit-equal rows (serve.py
+    `_prepare_params` carries the proof; tested to bf16 resolution there).
+    Training params stay f32 master weights; this cast is per-eval-call
+    and eval-only."""
+    import jax
+
+    if jnp.dtype(compute_dtype) != jnp.dtype(jnp.bfloat16):
+        return params
+
+    def cast(path, v):
+        if ("table" in jax.tree_util.keystr(path)
+                and getattr(v, "ndim", 0) == 2):
+            return jnp.asarray(v).astype(jnp.bfloat16)
+        return v
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def evaluate(eval_step: Callable, params, graph: DeviceGraph, targets,
              batch_size: int = 256, ks=(1, 5, 10),
              max_targets: Optional[int] = None) -> Dict[str, float]:
@@ -644,7 +670,10 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
                   f"loss {loss:.4f} batch_auc {float(m['batch_auc']):.4f}",
                   flush=True)
         if step % eval_every == 0 or step == total_steps:
-            val = evaluate(eval_step, state.params, graph, ds.val,
+            val = evaluate(eval_step,
+                           eval_table_cast(state.params,
+                                           cfg.model.compute_dtype),
+                           graph, ds.val,
                            max_targets=cfg.train.eval_max_targets)
             rec = dict(step=step, split="val", **val,
                        loss=float(m["loss"]),
@@ -682,7 +711,9 @@ def train(cfg: Config, ds: Dataset, verbose: bool = True,
         ckpt.wait()   # commit the last async save before we may exit
     final_params = (jax.device_put(best["params"])
                     if best["params"] is not None else state.params)
-    test = evaluate(eval_step, final_params, graph, ds.test)
+    test = evaluate(eval_step,
+                    eval_table_cast(final_params, cfg.model.compute_dtype),
+                    graph, ds.test)
     if verbose:
         print(f"test: auc {test['auc']:.4f} ndcg@10 {test['ndcg@10']:.4f} "
               f"hr@10 {test['hr@10']:.4f} mrr {test['mrr']:.4f}")

@@ -103,6 +103,8 @@ def main():
     # warmup: compile the block + accum graphs on a small slice first so the
     # timed full pass is pure streaming
     t0 = time.time()
+    from score_tpu.train import eval_table_cast
+    params = eval_table_cast(params, cfg.model.compute_dtype)
     evaluate(eval_step, params, graph, ds.val, batch_size=B, max_targets=B)
     res["eval_compile_s"] = round(time.time() - t0, 1)
     t0 = time.time()

@@ -77,10 +77,10 @@ def run_combo(idx, knobs):
         row["seeds"][seed] = dict(configs0=aucs["configs0"],
                                   configs3=aucs["configs3"],
                                   margin=round(margin, 4))
-    ms = [row["seeds"][s]["margin"] for s in SEEDS]
+    ms = [float(row["seeds"][s]["margin"]) for s in SEEDS]
     row["margin_mean"] = round(sum(ms) / len(ms), 4)
     row["margin_min"] = round(min(ms), 4)
-    row["seed_robust"] = min(ms) > 0.005
+    row["seed_robust"] = bool(min(ms) > 0.005)  # np.bool_ is not JSON
     print(json.dumps(dict(combo=idx, **{k: row[k] for k in
                                         ("knobs", "margin_mean", "margin_min",
                                          "seed_robust")})), flush=True)

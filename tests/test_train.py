@@ -381,6 +381,36 @@ def test_eval_step_shapes():
     assert 0.3 < res["auc"] < 0.7
 
 
+def test_eval_table_cast_matches_f32_eval():
+    """eval_table_cast (the serving bf16 table-gather fix applied to the
+    eval path, round 5): evaluating with pre-cast bf16 tables must agree
+    with the f32-table path to bf16 resolution — the model already casts
+    gathered rows to the compute dtype, so cast-then-gather commutes with
+    gather-then-cast. Also: f32 compute dtype must be an exact no-op."""
+    import dataclasses
+
+    from score_tpu.train import eval_table_cast
+    ds = _golden_ds()
+    cfg = configs0()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16"))
+    g = device_graph(ds.graph)
+    model = build_model(cfg, ds.num_users, ds.num_items)
+    state = init_state(cfg, model, g, jax.random.PRNGKey(0))
+    ev = make_eval_step(model)
+    base = evaluate(ev, state.params, g, ds.val, batch_size=64)
+    cast = eval_table_cast(state.params, cfg.model.compute_dtype)
+    import jax.numpy as jnp
+    tkey = next(iter(state.params["tables"]))   # 'table' (shared, configs0)
+    assert cast["tables"][tkey].dtype == jnp.bfloat16
+    got = evaluate(ev, cast, g, ds.val, batch_size=64)
+    for k in base:
+        assert abs(got[k] - base[k]) < 2e-3, (k, got[k], base[k])
+    # f32 compute: identity (no accidental cast of master weights)
+    same = eval_table_cast(state.params, "float32")
+    assert same["tables"][tkey] is state.params["tables"][tkey]
+
+
 def test_streaming_evaluate_matches_in_memory_oracle():
     """The streamed evaluate (rank sums + f16-bucket AUC histograms,
     VERDICT.md r4 missing #1) reproduces the in-memory formulation — score
