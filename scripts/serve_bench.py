@@ -178,6 +178,27 @@ def catalog_main():
     results["topk_warm_s"] = round(float(np.median(lat)), 2)
     results["items_per_s"] = round(ds.num_items /
                                    float(np.median(lat)))
+
+    # --- multi-user catalog topk (topk_batch, VERDICT.md r4 weak #6) ---
+    # R users share every [R, chunk] block dispatch, so the batch axis is
+    # full (the single-user path pads grid rows with the same user); the
+    # per-user cost should drop accordingly.
+    for R in (4, 16):
+        users = np.arange(3, 3 + R, dtype=np.int32)
+        svc.topk_batch(users, k=10)           # block-shape compile warmup
+        lat = []
+        for _ in range(3):
+            t0 = time.time()
+            bi, bs = svc.topk_batch(users, k=10)
+            lat.append(time.time() - t0)
+        assert bi.shape == (R, 10) and np.isfinite(bs).all()
+        med = float(np.median(lat))
+        results[f"topk_batch_R{R}_s"] = round(med, 2)
+        results[f"topk_batch_R{R}_per_user_s"] = round(med / R, 3)
+        results[f"topk_batch_R{R}_user_items_per_s"] = round(
+            R * ds.num_items / med)
+        print(json.dumps({k: results[k] for k in results
+                          if k.startswith(f"topk_batch_R{R}")}), flush=True)
     print(json.dumps(results), flush=True)
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/serve_catalog.json"
     with open(out, "w") as f:
