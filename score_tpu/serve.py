@@ -261,11 +261,17 @@ class ScoringService:
         catalog). Returns ([R, k] items, [R, k] scores), each row sorted
         descending (VERDICT.md r4 weak #6: the multi-user catalog path).
 
-        Layout: the R users fill the batch axis of every [R, chunk] block
-        dispatch (the envelope's R×C shape), blocks are issued ahead and
-        merged into a running per-user top-k every `_MERGE_EVERY` readbacks
-        — device residency stays bounded at catalog scale and the relay RTT
-        pipelines across in-flight blocks, as in `topk`."""
+        Layout: each dispatch carries `g = max(1, topk_grid_rows // R)`
+        consecutive candidate chunks for every user — rows are (user,
+        chunk) pairs — so the batch axis stays full even at small R (the
+        single-user grid trick generalized; without it R=4 measured 3×
+        worse than R=16 from row-bucket padding, SERVE_CATALOG_r5.json).
+        Dispatches are issued ahead and merged into a running per-user
+        top-k on a bounded cadence — device residency stays bounded at
+        catalog scale and the relay RTT pipelines across in-flight blocks,
+        as in `topk`. Grid pad positions (item 0 past the true candidate
+        count) are masked to -inf before any merge, so they can never
+        enter a top-k."""
         users = np.asarray(user_ids, np.int32)
         r = users.size
         if candidates is None:
@@ -275,32 +281,45 @@ class ScoringService:
         n = candidates.size
         if n == 0 or k <= 0 or r == 0:
             return (np.empty((r, 0), np.int32), np.empty((r, 0), np.float32))
+        k = min(k, n)
 
-        _MERGE_EVERY = 64  # in-flight blocks before a merge readback
         chunk = self.candidate_chunk
+        g = max(1, self.topk_grid_rows // r)     # chunks packed per user
+        width = g * chunk                        # candidates per dispatch
+        # fixed-width chunk grid, padded with item 0 (masked below)
+        pad = (-n) % width
+        grid = np.concatenate(
+            [candidates, np.zeros(pad, np.int32)]).reshape(-1, g, chunk)
+        merge_every = max(1, 64 // g)            # in-flight dispatches
         best_i = np.empty((r, 0), np.int32)
         best_s = np.empty((r, 0), np.float32)
+        urow = np.repeat(users, g)               # [r*g] user-major rows
 
         def merge(pending):
             nonlocal best_i, best_s
-            bi = [best_i] + [np.broadcast_to(blk, (r, blk.size))
-                             for _, blk in pending]
-            bs = [best_s] + [np.asarray(dev)[:r, :blk.size]
-                             for dev, blk in pending]
+            bi, bs = [best_i], [best_s]
+            for dev, blk, pos0 in pending:
+                s = np.asarray(dev)[:r * g, :chunk] \
+                    .reshape(r, width).astype(np.float32)
+                valid = min(max(n - pos0, 0), width)
+                s[:, valid:] = -np.inf           # grid pads out of the race
+                bi.append(np.broadcast_to(blk.reshape(-1), (r, width)))
+                bs.append(s)
             all_i = np.concatenate(bi, axis=1)
-            all_s = np.concatenate(bs, axis=1).astype(np.float32)
+            all_s = np.concatenate(bs, axis=1)
             kk = min(k, all_s.shape[1])
             part = np.argpartition(-all_s, kk - 1, axis=1)[:, :kk]
             best_i = np.take_along_axis(all_i, part, axis=1)
             best_s = np.take_along_axis(all_s, part, axis=1)
 
         pending = []
-        for lo in range(0, n, chunk):
-            blk = candidates[lo:lo + chunk]
-            pending.append(
-                (self._dispatch(users, np.ascontiguousarray(
-                    np.broadcast_to(blk, (r, blk.size)))), blk))
-            if len(pending) >= _MERGE_EVERY:
+        for j in range(grid.shape[0]):
+            blk = grid[j]                        # [g, chunk]
+            irow = np.ascontiguousarray(
+                np.broadcast_to(blk[None], (r, g, chunk))
+                .reshape(r * g, chunk))
+            pending.append((self._dispatch(urow, irow), blk, j * width))
+            if len(pending) >= merge_every:
                 merge(pending)
                 pending = []
         if pending:

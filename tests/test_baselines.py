@@ -260,12 +260,20 @@ def test_topk_batch_matches_per_user(tiny_dataset):
         ti, ts = svc.topk(u, k=4)
         np.testing.assert_array_equal(bi[r], ti)
         np.testing.assert_allclose(bs[r], ts, rtol=1e-5, atol=1e-6)
-    # shared explicit candidate list + empty edges
+    # shared explicit candidate list + empty edges. 29 candidates with
+    # chunk=16 and r=3 -> g=5, width=80: the whole list fits ONE grouped
+    # dispatch with 51 item-0 pad positions — exercises the -inf pad mask
+    # (an unmasked pad would win top-3 whenever item 0 scores high)
     cand = np.arange(1, 30, dtype=np.int32)
     bi2, bs2 = svc.topk_batch(users, k=3, candidates=cand)
     for r, u in enumerate(users):
         ti, ts = svc.topk(u, k=3, candidates=cand)
         np.testing.assert_array_equal(bi2[r], ti)
+    # r=1 takes the widest packing (g = topk_grid_rows): must still match
+    bi3, bs3 = svc.topk_batch([3], k=4)
+    ti, ts = svc.topk(3, k=4)
+    np.testing.assert_array_equal(bi3[0], ti)
+    np.testing.assert_allclose(bs3[0], ts, rtol=1e-5, atol=1e-6)
     for bad in (svc.topk_batch(users, k=0), svc.topk_batch([], k=4),
                 svc.topk_batch(users, k=3, candidates=[])):
         assert bad[0].shape[1] == 0 and bad[1].shape[1] == 0
